@@ -1,0 +1,93 @@
+"""Varbyte + delta (d-gap) posting codec, vectorized with numpy.
+
+Same wire convention as the reference (create_index.cpp:80-93 encode,
+merge_index.cpp:95-114 decode): values are split into 7-bit groups,
+little-endian (least-significant group first), and the **terminating byte of
+a value has its high bit SET** (non-final bytes have it clear).
+
+Extensions over the reference (which caps values at u32,
+readme_assignment.md:247): values are uint64 (docIDs at 10^12-turn scale),
+and docID lists are delta-encoded as [first, gap, gap, ...] before varbyte
+(merge_index.cpp:220-224 stores gaps; frequencies are varbyte'd raw — they
+are small, readme_assignment.md:78).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_GROUPS = 10  # ceil(64 / 7)
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a uint64 array. Vectorized: no per-value Python loop —
+    the only loops are over the ≤10 7-bit group positions."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value (≥1)
+    ngroups = np.ones(v.size, dtype=np.int64)
+    rest = v >> np.uint64(7)
+    while rest.any():
+        ngroups += (rest > 0).astype(np.int64)
+        rest >>= np.uint64(7)
+    starts = np.concatenate(([0], np.cumsum(ngroups)[:-1]))
+    out = np.zeros(int(ngroups.sum()), dtype=np.uint8)
+    for k in range(_MAX_GROUPS):
+        sel = ngroups > k
+        if not sel.any():
+            break
+        byte = ((v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        last = ngroups[sel] == k + 1
+        byte[last] |= 0x80  # high bit set terminates a value
+        out[starts[sel] + k] = byte
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Decode a varbyte stream back to a uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.nonzero(b & 0x80)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    n = ends.size
+    out = np.zeros(n, dtype=np.uint64)
+    lengths = ends - starts + 1
+    for k in range(int(lengths.max())):
+        sel = lengths > k
+        grp = (b[starts[sel] + k] & 0x7F).astype(np.uint64)
+        out[sel] |= grp << np.uint64(7 * k)
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing uint64 ids → [first, gap, gap, ...]."""
+    ids = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    if ids.size == 0:
+        return ids
+    out = np.empty_like(ids)
+    out[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`delta_encode` (prefix sum, main.cpp:122-129)."""
+    return np.cumsum(np.ascontiguousarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+def encode_ids(sorted_ids: np.ndarray) -> bytes:
+    return vb_encode(delta_encode(sorted_ids))
+
+
+def decode_ids(buf: bytes) -> np.ndarray:
+    return delta_decode(vb_decode(buf))
+
+
+def encode_tfs(tfs: np.ndarray) -> bytes:
+    return vb_encode(tfs)
+
+
+def decode_tfs(buf: bytes) -> np.ndarray:
+    return vb_decode(buf)

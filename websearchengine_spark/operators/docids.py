@@ -1,0 +1,73 @@
+"""Stable dense docID assignment at scale.
+
+Reference analogue: parse-order dense u32 docIDs (create_index.cpp:314) and
+the DOCNO → dense-ID conversion pass (convert_ids.cpp:92-152). Here the
+stable global ordering is ``(conv_id ASC, turn_idx ASC)`` per BASELINE.json's
+input_hint, and IDs are int64 (10^12 turns overflows the reference's u32 cap,
+readme_assignment.md:247).
+
+A naive ``row_number() OVER (ORDER BY ...)`` is a single-partition window —
+a non-starter at 10^12 rows. Instead: two-level numbering.
+
+1. range-repartition by the ordering columns and sort within partitions
+   (one shuffle — the same shuffle any global sort needs);
+2. count rows per partition (cheap aggregate over the persisted shuffle
+   output) → prefix-sum offsets on the driver (num_partitions values);
+3. mapInPandas adds ``offset[pid] + local_row_number`` — embarrassingly
+   parallel, no second shuffle.
+
+The assigned ID equals the rank of (conv_id, turn_idx) in the total order,
+so it is deterministic and stable across reruns/resumes regardless of
+partition boundaries — required by the per-turn-text-equality invariant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel, TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    num_partitions: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add a dense 0-based int64 ``id_col`` = rank in the total order."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in part.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    schema = T.StructType(df.schema.fields + [T.StructField(id_col, T.LongType(), False)])
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        seen = offsets.get(pid, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[id_col] = np.arange(seen, seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    return part.mapInPandas(add_ids, schema)
