@@ -1,0 +1,341 @@
+"""Physical index: salted, term-partitioned varbyte/delta posting blocks.
+
+The Spark-first replacement for the reference's two-pass create_index →
+merge_index pipeline (create_index.cpp:116-150 spill runs;
+merge_index.cpp:394-476 k-way heap merge). Here the term shuffle IS the
+merge: postings are hash-bucketed by term (bucket = crc32(term) % n_buckets —
+the partition-pruning key for query-time reads), skew-salted into contiguous
+docID ranges, and encoded per (term, salt) group by an Arrow-batched
+``applyInPandas`` into fixed-size blocks:
+
+    (term, doc_lo, doc_hi, n, ids_vb, tfs_vb, dls_vb, max_tfc, min_tfc, bucket)
+
+- ``ids_vb``  — delta+varbyte docIDs (merge_index.cpp:220-245 convention);
+- ``tfs_vb``  — varbyte raw term frequencies;
+- ``dls_vb``  — varbyte doc lengths, stored *in the posting* (the reference
+  keeps an in-RAM page table, main.cpp:63-69 — impossible at 10^12 docs;
+  embedding l_d costs ~1 byte/posting and makes scoring block-local);
+- ``doc_lo/doc_hi`` — block skip pointers (absent in the reference, which
+  decodes whole lists — main.cpp:584-587);
+- ``max_tfc/min_tfc`` — per-block max/min of the BM25 tf-component
+  tf·(k1+1)/(tf + k1·(1−b+b·l_d/avgdl)). The query-time block upper bound is
+  max(idf·max_tfc, idf·min_tfc), exact under **negative IDF** (hot terms with
+  f_t > N/2 — the reference has no IDF floor, main.cpp:446-450).
+
+Skew (SURVEY.md §4.2): hot terms (df above a threshold — Zipf ⇒ few) are
+salted into ``ceil(df / target_group_size)`` contiguous docID ranges, so each
+encode group is bounded; salted sub-lists are disjoint ranges and concatenate
+back into sorted order for free. AQE skew handling stays on as a backstop,
+but the salting is the deterministic guarantee.
+
+Resumability (SURVEY.md §4.3): the commit unit is the bucket. Blocks are
+written with dynamic partition overwrite (idempotent per-bucket commits); a
+``checkpoints`` table records (build_id, bucket, status, lineage fingerprint,
+n_postings, n_blocks, bytes, postings/sec). A restarted build skips buckets
+already checkpointed for the same build_id + input fingerprint.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+import zlib
+from collections.abc import Iterable
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from websearchengine_spark.functions.codec import encode_ids, vb_encode
+from websearchengine_spark.plans.build import (
+    B,
+    K1,
+    docs_table,
+    tokenize_count_udf,
+)
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_lo", T.LongType(), False),
+        T.StructField("doc_hi", T.LongType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("ids_vb", T.BinaryType(), False),
+        T.StructField("tfs_vb", T.BinaryType(), False),
+        T.StructField("dls_vb", T.BinaryType(), False),
+        T.StructField("max_tfc", T.DoubleType(), False),
+        T.StructField("min_tfc", T.DoubleType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """crc32-based bucket — identical in Python (zlib.crc32) and Spark
+    (F.crc32), so the serving layer can partition-prune without the JVM."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+@dataclass
+class BlockIndexPaths:
+    root: str
+
+    @property
+    def blocks(self) -> str:
+        return os.path.join(self.root, "blocks")
+
+    @property
+    def lexicon(self) -> str:
+        return os.path.join(self.root, "lexicon")
+
+    @property
+    def doc_stats(self) -> str:
+        return os.path.join(self.root, "doc_stats")
+
+    @property
+    def meta(self) -> str:
+        return os.path.join(self.root, "meta")
+
+    @property
+    def checkpoints(self) -> str:
+        return os.path.join(self.root, "checkpoints")
+
+
+def _postings_with_dl(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl) — doc length carried from the tokenize-count
+    UDF output, NOT joined in later (kills a postings×doc_stats shuffle
+    that would be the biggest join in the build at 100 TB)."""
+    tokenized = docs.select(
+        "doc_id", tokenize_count_udf(F.col("text")).alias("tcs")
+    ).withColumn(
+        "dl",
+        F.aggregate("tcs", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]),
+    )
+    return tokenized.select("doc_id", "dl", F.explode("tcs").alias("tc")).select(
+        F.col("tc.term").alias("term"), "doc_id", F.col("tc.tf").alias("tf"), "dl"
+    )
+
+
+def _make_encoder(avg_dl: float, block_size: int, n_buckets: int):
+    k1, b = K1, B
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        term = pdf["term"].iat[0]
+        bucket = term_bucket(term, n_buckets)
+        # exact BM25 tf-component per posting (float64, same expression
+        # tree as the oracle) — block max/min give tight WAND bounds
+        tfc = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
+        rows = []
+        for s in range(0, len(ids), block_size):
+            e = min(s + block_size, len(ids))
+            rows.append(
+                {
+                    "term": term,
+                    "doc_lo": int(ids[s]),
+                    "doc_hi": int(ids[e - 1]),
+                    "n": e - s,
+                    "ids_vb": encode_ids(ids[s:e].astype(np.uint64)),
+                    "tfs_vb": vb_encode(tfs[s:e].astype(np.uint64)),
+                    "dls_vb": vb_encode(dls[s:e].astype(np.uint64)),
+                    "max_tfc": float(tfc[s:e].max()),
+                    "min_tfc": float(tfc[s:e].min()),
+                    "bucket": bucket,
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+    return encode_group
+
+
+@dataclass
+class BuildMetrics:
+    build_id: str
+    n_docs: int
+    avg_dl: float
+    n_postings: int
+    n_buckets_built: int
+    n_buckets_skipped: int
+    wall_s: float
+    postings_per_sec: float
+
+
+def build_block_index(
+    transcripts: DataFrame,
+    out_dir: str,
+    *,
+    n_buckets: int = 32,
+    block_size: int = 128,
+    hot_df_threshold: int = 100_000,
+    target_group_size: int = 50_000,
+    build_id: str = "build0",
+    resume: bool = True,
+    num_partitions: int | None = None,
+    fail_buckets: Iterable[int] = (),  # test hook: simulate a mid-build crash
+) -> BuildMetrics:
+    spark = transcripts.sparkSession
+    paths = BlockIndexPaths(out_dir)
+    t0 = time.time()
+
+    docs = docs_table(transcripts, num_partitions=num_partitions)
+    postings = _postings_with_dl(docs).persist()
+
+    doc_stats = docs.withColumn(
+        "term_cnt",
+        F.aggregate(
+            tokenize_count_udf(F.col("text")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["tf"],
+        ),
+    ).select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "term_cnt")
+
+    stats = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("term_cnt").alias("avgdl")
+    ).collect()[0]
+    n_docs, avg_dl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+
+    # lexicon: df (postings per term == distinct docs per term) + cf
+    lexicon = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+
+    # ---- skew plan: salt counts for hot terms (Zipf ⇒ few ⇒ collectable)
+    hot = {
+        r["term"]: int(math.ceil(r["df"] / target_group_size))
+        for r in lexicon.filter(F.col("df") > hot_df_threshold)
+        .select("term", "df")
+        .collect()
+    }
+    if hot:
+        salt_map = F.create_map(
+            *[x for t, ns in hot.items() for x in (F.lit(t), F.lit(ns))]
+        )
+        ns_col = F.coalesce(salt_map[F.col("term")], F.lit(1))
+    else:
+        ns_col = F.lit(1)
+    salted = postings.withColumn(
+        # contiguous docID ranges per salt ⇒ salted sub-lists concatenate
+        # back into globally sorted posting order
+        "salt",
+        (F.col("doc_id") * ns_col / F.lit(max(n_docs, 1))).cast("int"),
+    ).withColumn("bucket", (F.crc32(F.col("term")) % n_buckets).cast("int"))
+
+    # ---- resume: skip buckets checkpointed for this build_id + lineage
+    fingerprint = f"{n_docs}:{avg_dl:.6f}"
+    done: set[int] = set()
+    if resume:
+        try:
+            cp = spark.read.parquet(paths.checkpoints)
+            done = {
+                r["bucket"]
+                for r in cp.filter(
+                    (F.col("build_id") == build_id)
+                    & (F.col("status") == "done")
+                    & (F.col("fingerprint") == fingerprint)
+                )
+                .select("bucket")
+                .collect()
+            }
+        except Exception:
+            done = set()
+    fail_buckets = set(fail_buckets)
+    build_buckets = [
+        b for b in range(n_buckets) if b not in done and b not in fail_buckets
+    ]
+
+    if build_buckets:
+        to_build = salted.filter(F.col("bucket").isin(build_buckets))
+        blocks = to_build.groupBy("term", "salt").applyInPandas(
+            _make_encoder(avg_dl, block_size, n_buckets), BLOCK_SCHEMA
+        )
+        # dynamic partition overwrite → idempotent per-bucket commits
+        (
+            blocks.repartition("bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(paths.blocks)
+        )
+
+    # ---- per-partition (bucket) checkpoints with lineage + metrics
+    wall_s = time.time() - t0
+    built_blocks = spark.read.parquet(paths.blocks).filter(
+        F.col("bucket").isin(build_buckets) if build_buckets else F.lit(False)
+    )
+    per_bucket = {
+        r["bucket"]: r
+        for r in built_blocks.groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n_postings"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.length("ids_vb") + F.length("tfs_vb") + F.length("dls_vb")).alias(
+                "bytes_compressed"
+            ),
+        )
+        .collect()
+    }
+    now = time.time()
+    cp_rows = []
+    for bkt in build_buckets:
+        r = per_bucket.get(bkt)
+        npost = int(r["n_postings"]) if r else 0
+        cp_rows.append(
+            (
+                build_id,
+                int(bkt),
+                "done",
+                fingerprint,
+                npost,
+                int(r["n_blocks"]) if r else 0,
+                int(r["bytes_compressed"]) if r else 0,
+                float(wall_s),
+                float(npost / wall_s) if wall_s > 0 else 0.0,
+                float(now),
+            )
+        )
+    if cp_rows:
+        spark.createDataFrame(
+            cp_rows,
+            "build_id string, bucket int, status string, fingerprint string, "
+            "n_postings long, n_blocks long, bytes_compressed long, "
+            "wall_s double, postings_per_sec double, ts double",
+        ).write.mode("append").parquet(paths.checkpoints)
+
+    complete = len(done) + len(build_buckets) == n_buckets
+    if complete:
+        (
+            lexicon.withColumn("bucket", (F.crc32(F.col("term")) % n_buckets).cast("int"))
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(paths.lexicon)
+        )
+        doc_stats.write.mode("overwrite").parquet(paths.doc_stats)
+        spark.createDataFrame(
+            [(build_id, n_docs, avg_dl, block_size, n_buckets, fingerprint)],
+            "build_id string, n_docs long, avg_dl double, block_size int, "
+            "n_buckets int, fingerprint string",
+        ).write.mode("overwrite").parquet(paths.meta)
+
+    n_postings = sum(int(r["n_postings"]) for r in per_bucket.values())
+    postings.unpersist()
+    return BuildMetrics(
+        build_id=build_id,
+        n_docs=n_docs,
+        avg_dl=avg_dl,
+        n_postings=n_postings,
+        n_buckets_built=len(build_buckets),
+        n_buckets_skipped=len(done),
+        wall_s=wall_s,
+        postings_per_sec=(n_postings / wall_s) if wall_s > 0 else 0.0,
+    )
+
+
+def load_meta(spark: SparkSession, out_dir: str) -> dict:
+    row = spark.read.parquet(BlockIndexPaths(out_dir).meta).collect()[0]
+    return row.asDict()
