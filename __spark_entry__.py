@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship query end-to-end through the real engine
+(stable docID assignment → tokenize-count pandas UDF → postings → exhaustive
+BM25 top-k). `queries()` / `oracle_sql()` expose one gate entry per
+implemented operator group from SURVEY.md §2, each with an equivalent DuckDB
+SQL oracle over the same parquet tables (see
+websearchengine_spark/plans/gate_queries.py for the exactness rules).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: conjunctive BM25 top-10 over sf0.001 documents treated as
+    transcripts (conv_id = source, turn ordering by doc_id), via the full
+    engine: docID assignment, tokenizer UDF, postings/lexicon build,
+    broadcast query join, ordered float summation, top-k window."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators.query import search
+    from websearchengine_spark.plans.build import build_logical_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.current_timestamp().alias("ts"),
+    )
+    index = build_logical_index(transcripts, num_partitions=8)
+    queries = [(0, "spark query"), (1, "hash join"), (2, "the data")]
+    return search(index, queries, conjunctive=True, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from websearchengine_spark.plans.gate_queries import core_entries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fn, _sql) in core_entries().items():
+        out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from websearchengine_spark.plans.gate_queries import core_entries
+
+    out: dict[str, str] = {}
+    for name, (_fn, sql) in core_entries().items():
+        if sql is not None:
+            out[name] = sql
+    return out

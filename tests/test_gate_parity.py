@@ -1,0 +1,100 @@
+"""Driver-gate parity: every `__spark_entry__.queries()` entry must match its
+`oracle_sql()` DuckDB counterpart — row count, schema (column names), and
+exact values after column-name sort (the driver's comparison)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+SF_DIR = os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    out = con.sql(sql)
+    cols = [d[0] for d in out.description]
+    return cols, out.fetchall()
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return [cols[i] for i in order], out
+
+
+def _entries():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    return [(name, fn, sqls.get(name)) for name, fn in qs.items()]
+
+
+@pytest.mark.parametrize("name,fn,sql", _entries(), ids=[n for n, _, _ in _entries()])
+def test_gate_entry_matches_duckdb(spark, name, fn, sql):
+    sdf = fn(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    dcols, drows = _duck(sql)
+    assert sorted(scols) == sorted(dcols), (name, scols, dcols)
+    ncols, nsrows = _norm_rows(scols, srows)
+    _, ndrows = _norm_rows(dcols, drows)
+    assert len(nsrows) == len(ndrows), (name, len(nsrows), len(ndrows))
+    mismatches = [
+        (a, b) for a, b in zip(nsrows, ndrows) if a != b
+    ]
+    # floats already rounded by the queries themselves; require exact match
+    assert not mismatches, (name, mismatches[:5])
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None
+
+
+def test_every_query_has_callable_signature():
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        assert callable(fn), name
+    for name in e.oracle_sql():
+        assert name in e.queries(), name
+
+
+def test_mrr_is_positive_at_gate_sf(spark):
+    """Sanity: the embedded gate query set finds its derived qrels."""
+    import __spark_entry__ as e
+
+    fn = e.queries()["a5_mrr_at_10"]
+    row = fn(spark, SF_DIR).collect()[0]
+    assert row["n_queries"] >= 8
+    assert 0.0 < row["mrr"] <= 1.0
+    assert not math.isnan(row["mrr"])

@@ -1,0 +1,388 @@
+"""Correctness-gate queries: Spark implementation + equivalent DuckDB SQL.
+
+Each operator from SURVEY.md §2 that is SQL-expressible gets a (spark_fn,
+oracle_sql) pair over the driver's parquet tables (documents / embeddings —
+pre-registered as DuckDB views by the driver). The Spark side uses the real
+engine pieces (tokenizer UDF, docID assignment, BM25 expression); the SQL
+side re-derives the same values independently.
+
+Exactness rules (the driver hashes values):
+- the documents table's text is pure ``[a-z0-9 ]`` at every SF, so DuckDB's
+  ``lower + regexp_split_to_array`` is exactly the reference tokenizer there
+  (verified; the full Unicode semantics are pytest-verified against the
+  char-level spec in tests/test_tokenizer.py);
+- float expressions use the same literal expression tree on both sides and
+  are ROUND()ed (half-away-from-zero in both engines) to absorb ulp-level
+  libm/summation-order noise;
+- every aggregate/computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from websearchengine_spark.functions.tokenizer import clean_query
+from websearchengine_spark.plans.build import tokenize_count_udf
+
+# ---------------------------------------------------------------------------
+# shared fragments
+
+# embedded reference query set for the gate BM25 queries (cleaned driver-side
+# exactly like the engine does — main.cpp:393-431)
+GATE_QUERIES: list[tuple[int, str]] = [
+    (0, "spark query"),
+    (1, "hash join"),
+    (2, "window agg stream"),
+    (3, "the data"),
+    (4, "scan"),
+    (5, "sort merge batch"),
+    (6, "vector value"),
+    (7, "nosuchterm spark"),      # OOV term silently skipped (main.cpp:575)
+    (8, "customer line value"),
+    (9, "big small filter"),
+]
+
+# DuckDB tokenizer equivalent for this table (see module docstring)
+SQL_TOKS = """
+toks AS (
+  SELECT d.doc_id, t.term
+  FROM documents d,
+       UNNEST(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(term)
+)
+"""
+
+SQL_POSTINGS = (
+    SQL_TOKS
+    + """,
+postings AS (
+  SELECT term, doc_id, COUNT(*)::BIGINT AS tf FROM toks GROUP BY term, doc_id
+)
+"""
+)
+
+SQL_DOCLEN = """,
+dl AS (
+  SELECT d.doc_id, COALESCE(t.n, 0)::BIGINT AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id) t
+    USING (doc_id)
+)
+"""
+
+
+def _qterms_values() -> str:
+    rows = []
+    for qid, q in GATE_QUERIES:
+        for t in clean_query(q):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _spark_postings(docs: DataFrame) -> DataFrame:
+    toks = docs.select("doc_id", tokenize_count_udf(F.col("text")).alias("tcs"))
+    return toks.select("doc_id", F.explode("tcs").alias("tc")).select(
+        F.col("tc.term").alias("term"), "doc_id", F.col("tc.tf").alias("tf")
+    )
+
+
+def _spark_doclen(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.aggregate(
+            tokenize_count_udf(F.col("text")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["tf"],
+        ).alias("dl"),
+    )
+
+
+def _spark_bm25_scores(spark: SparkSession, sf_dir: str, conjunctive: bool) -> DataFrame:
+    """Shared Spark plan for the gate BM25 top-k — the exhaustive DataFrame
+    path over the driver's documents table (doc identity = documents.doc_id)."""
+    docs = _docs(spark, sf_dir)
+    postings = _spark_postings(docs).withColumn("tf", F.col("tf").cast("double"))
+    dl = _spark_doclen(docs).withColumn("dl", F.col("dl").cast("double"))
+    row = docs.join(dl, "doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n, avgdl = float(row["n"]), float(row["avgdl"])
+
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, q in GATE_QUERIES for t in clean_query(q)],
+        "query_id long, term string",
+    )
+    lex = postings.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    qlex = lex.join(F.broadcast(qt), "term")
+    n_found = qlex.groupBy("query_id").agg(F.count(F.lit(1)).alias("nf"))
+
+    # identical literal expression tree to the SQL side
+    contrib = (
+        F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * 1.9)
+        / (F.col("tf") + 0.9 * (0.6 + 0.4 * F.col("dl") / F.lit(avgdl)))
+    )
+    hits = (
+        postings.join(F.broadcast(qlex), "term")
+        .join(dl, "doc_id")
+        .withColumn("contrib", contrib)
+    )
+    per_doc = hits.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score"), F.count(F.lit(1)).alias("nhit")
+    )
+    if conjunctive:
+        per_doc = per_doc.join(F.broadcast(n_found), "query_id").filter(
+            F.col("nhit") == F.col("nf")
+        )
+    return per_doc
+
+
+def _sql_bm25_ranked(conjunctive: bool) -> str:
+    conj_filter = "JOIN nfound USING (query_id) WHERE nhit = nf" if conjunctive else ""
+    return f"""
+WITH {SQL_POSTINGS}{SQL_DOCLEN},
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n, AVG(dl)::DOUBLE AS avgdl FROM dl
+),
+qterms(query_id, term) AS (VALUES {_qterms_values()}),
+lex AS (SELECT term, COUNT(*)::DOUBLE AS df FROM postings GROUP BY term),
+qlex AS (SELECT q.query_id, q.term, l.df FROM qterms q JOIN lex l USING (term)),
+nfound AS (SELECT query_id, COUNT(*) AS nf FROM qlex GROUP BY query_id),
+hits AS (
+  SELECT ql.query_id, p.doc_id,
+         ln((s.n - ql.df + 0.5) / (ql.df + 0.5))
+           * (p.tf::DOUBLE * 1.9)
+           / (p.tf::DOUBLE + 0.9 * (0.6 + 0.4 * d.dl::DOUBLE / s.avgdl)) AS contrib
+  FROM qlex ql
+  JOIN postings p USING (term)
+  JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT query_id, doc_id, SUM(contrib) AS score, COUNT(*) AS nhit
+  FROM hits GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id::BIGINT AS query_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id ASC))::BIGINT AS rank,
+         doc_id, ROUND(score, 6) AS score
+  FROM perdoc {conj_filter}
+) WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# gate entries: name → (spark_fn, sql)
+
+def q_tokenize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P7: tokenizer + per-doc BM25 length (create_index.cpp:376)."""
+    return _spark_doclen(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("dl").alias("term_cnt")
+    )
+
+
+SQL_TOKENIZE_DOCLEN = f"""
+WITH {SQL_TOKS}{SQL_DOCLEN}
+SELECT doc_id, dl AS term_cnt FROM dl
+"""
+
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6/A1: postings build — (term, doc_id, tf) with first-occurrence
+    dedup + per-doc tf count (create_index.cpp:378-386)."""
+    return _spark_postings(_docs(spark, sf_dir))
+
+
+SQL_POSTINGS_Q = f"""
+WITH {SQL_POSTINGS}
+SELECT term, doc_id, tf FROM postings
+"""
+
+
+def q_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/S9: lexicon — term, document frequency, collection frequency
+    (merge_index.cpp:249-254)."""
+    return _spark_postings(_docs(spark, sf_dir)).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+SQL_LEXICON = f"""
+WITH {SQL_POSTINGS}
+SELECT term, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS cf
+FROM postings GROUP BY term
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: N + avg doc length (derived at startup in the reference,
+    main.cpp:364-370)."""
+    docs = _docs(spark, sf_dir)
+    return _spark_doclen(docs).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avg_dl"),
+    )
+
+
+SQL_CORPUS_STATS = f"""
+WITH {SQL_TOKS}{SQL_DOCLEN}
+SELECT COUNT(*)::BIGINT AS n_docs, ROUND(AVG(dl), 6) AS avg_dl FROM dl
+"""
+
+
+def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12/J1/J2/A2/O4/U1: conjunctive BM25 top-10 (main.cpp:599-630)."""
+    per_doc = _spark_bm25_scores(spark, sf_dir, conjunctive=True)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def q_bm25_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12/A2/O4/U2: disjunctive BM25 top-10 (main.cpp:681-687)."""
+    per_doc = _spark_bm25_scores(spark, sf_dir, conjunctive=False)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def q_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: total conjunctive match count per query (main.cpp:487)."""
+    per_doc = _spark_bm25_scores(spark, sf_dir, conjunctive=True)
+    return per_doc.groupBy("query_id").agg(F.count(F.lit(1)).alias("count"))
+
+
+SQL_MATCH_COUNTS = f"""
+WITH {SQL_POSTINGS},
+qterms(query_id, term) AS (VALUES {{qterms}}),
+qlex AS (
+  SELECT q.query_id, q.term FROM qterms q
+  WHERE EXISTS (SELECT 1 FROM postings p WHERE p.term = q.term)
+),
+nfound AS (SELECT query_id, COUNT(*) AS nf FROM qlex GROUP BY query_id),
+perdoc AS (
+  SELECT ql.query_id, p.doc_id, COUNT(*) AS nhit
+  FROM qlex ql JOIN postings p USING (term)
+  GROUP BY ql.query_id, p.doc_id
+)
+SELECT pd.query_id::BIGINT AS query_id, COUNT(*)::BIGINT AS count
+FROM perdoc pd JOIN nfound USING (query_id)
+WHERE nhit = nf
+GROUP BY pd.query_id
+"""
+
+
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/J5: MRR@10 harness (evaluation.cpp:484-490, 715-720). The qrel per
+    query is derived identically on both sides: the lowest docID among the
+    top-20 conjunctive matches (varied ranks -> a meaningful MRR)."""
+    per_doc = _spark_bm25_scores(spark, sf_dir, conjunctive=True)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+    qrels = (
+        ranked.filter(F.col("rank") <= 20)
+        .groupBy("query_id")
+        .agg(F.min("doc_id").alias("rel_doc"))
+    )
+    rr = (
+        ranked.filter(F.col("rank") <= 10)
+        .join(qrels, "query_id")
+        .filter(F.col("doc_id") == F.col("rel_doc"))
+        .select("query_id", (F.lit(1.0) / F.col("rank")).alias("rr"))
+    )
+    per_query = qrels.join(rr, "query_id", "left").select(
+        F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr")
+    )
+    return per_query.agg(
+        F.round(F.avg("rr"), 6).alias("mrr"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )
+
+
+def q_docid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 (convert_ids.cpp:92-152): dense 0-based docIDs under a stable
+    total order — here (source ASC, doc_id ASC), computed by the engine's
+    scalable two-level numbering and checked against SQL row_number."""
+    from websearchengine_spark.operators.docids import assign_doc_ids
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    out = assign_doc_ids(
+        docs, order_cols=("source", "doc_id"), num_partitions=8, id_col="new_id"
+    )
+    return out.select("doc_id", "source", "new_id")
+
+
+SQL_DOCID_ASSIGNMENT = """
+SELECT doc_id, source,
+       (ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1)::BIGINT AS new_id
+FROM documents
+"""
+
+
+SQL_MRR = f"""
+WITH {SQL_POSTINGS}{SQL_DOCLEN},
+stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl)::DOUBLE AS avgdl FROM dl),
+qterms(query_id, term) AS (VALUES {{qterms}}),
+lex AS (SELECT term, COUNT(*)::DOUBLE AS df FROM postings GROUP BY term),
+qlex AS (SELECT q.query_id, q.term, l.df FROM qterms q JOIN lex l USING (term)),
+nfound AS (SELECT query_id, COUNT(*) AS nf FROM qlex GROUP BY query_id),
+hits AS (
+  SELECT ql.query_id, p.doc_id,
+         ln((s.n - ql.df + 0.5) / (ql.df + 0.5))
+           * (p.tf::DOUBLE * 1.9)
+           / (p.tf::DOUBLE + 0.9 * (0.6 + 0.4 * d.dl::DOUBLE / s.avgdl)) AS contrib
+  FROM qlex ql JOIN postings p USING (term) JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT query_id, doc_id, SUM(contrib) AS score, COUNT(*) AS nhit
+  FROM hits GROUP BY query_id, doc_id
+),
+conj AS (SELECT pd.* FROM perdoc pd JOIN nfound USING (query_id) WHERE nhit = nf),
+ranked AS (
+  SELECT query_id, doc_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id ASC))::BIGINT AS rank
+  FROM conj
+),
+qrels AS (SELECT query_id, MIN(doc_id) AS rel_doc FROM ranked WHERE rank <= 20 GROUP BY query_id),
+rr AS (
+  SELECT r.query_id, 1.0::DOUBLE / r.rank AS rr
+  FROM ranked r JOIN qrels q ON r.query_id = q.query_id AND r.doc_id = q.rel_doc
+  WHERE r.rank <= 10
+),
+perq AS (
+  SELECT COALESCE(rr.rr, 0.0::DOUBLE) AS rr FROM qrels LEFT JOIN rr USING (query_id)
+)
+SELECT ROUND(AVG(rr), 6) AS mrr, COUNT(*)::BIGINT AS n_queries FROM perq
+"""
+
+
+def core_entries() -> dict[str, tuple]:
+    """name → (spark_fn, sql | None)."""
+    return {
+        "p1_tokenize_doclen": (q_tokenize_doclen, SQL_TOKENIZE_DOCLEN),
+        "p5p6_postings_build": (q_postings, SQL_POSTINGS_Q),
+        "a3_lexicon": (q_lexicon, SQL_LEXICON),
+        "a4_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+        "p12_bm25_conjunctive_topk": (q_bm25_conjunctive, _sql_bm25_ranked(True)),
+        "p12_bm25_disjunctive_topk": (q_bm25_disjunctive, _sql_bm25_ranked(False)),
+        "j2_conjunctive_match_counts": (
+            q_match_counts,
+            SQL_MATCH_COUNTS.replace("{qterms}", _qterms_values()),
+        ),
+        "a5_mrr_at_10": (q_mrr, SQL_MRR.replace("{qterms}", _qterms_values())),
+        "p15_docid_assignment": (q_docid_assignment, SQL_DOCID_ASSIGNMENT),
+    }
