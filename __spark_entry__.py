@@ -43,20 +43,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return search(index, queries, conjunctive=True, k=10)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _all_entries() -> dict[str, tuple]:
     from websearchengine_spark.plans.gate_queries import core_entries
+    from websearchengine_spark.plans.pipeline_gate import pipeline_entries
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, (fn, _sql) in core_entries().items():
-        out[name] = fn
-    return out
+    return {**core_entries(), **pipeline_entries()}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in _all_entries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from websearchengine_spark.plans.gate_queries import core_entries
-
-    out: dict[str, str] = {}
-    for name, (_fn, sql) in core_entries().items():
-        if sql is not None:
-            out[name] = sql
-    return out
+    return {
+        name: sql for name, (_fn, sql) in _all_entries().items() if sql is not None
+    }

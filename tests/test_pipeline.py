@@ -1,0 +1,191 @@
+"""Unit tests for the training-data pipeline operators (pipeline/*) on
+constructed inputs — semantics checks that the gate parity tests (which
+compare whole-table output against DuckDB) don't cover directly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from websearchengine_spark.pipeline import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),          # near dup of 0
+        (3, "completely different content about spark and shuffles"),
+        (4, "der hund und die katze sind nicht da und das ist gut"),  # German-ish
+        (5, "xy"),                                                    # < 3 tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2          # docs 0 and 1 collapse, survivor = min doc_id
+    assert 1 not in out
+    assert out[2] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_shingle_df_cap_drops_boilerplate(spark):
+    # shingle shared by ALL docs is boilerplate; cap excludes it from pairing
+    rows = [(i, f"common prefix here unique{i} tail{i} words{i}") for i in range(5)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(d, threshold=0.05).count()
+    capped = dedup.ngram_jaccard_pairs(d, threshold=0.05, shingle_df_cap=2).count()
+    assert uncapped > 0 and capped == 0
+
+
+def test_minhash_lsh_matches_bruteforce_at_threshold(docs):
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in lsh and lsh[(0, 1)] == 1.0
+    # every LSH-verified pair must appear in the exact all-pairs result
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v
+
+
+def test_simhash_exact_dup_zero_hamming(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[3]
+    assert 0 <= fps[5] < (1 << dedup.SIMHASH_BITS)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_simhash_banding_is_lossless(spark):
+    """Chunk-LSH candidates must reproduce brute force for hamming ≤ 3."""
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(20))) for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_dup_pairs(d, max_hamming=3).collect()
+    }
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(d).collect()}
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert banded == brute
+
+
+def test_lang_id_heuristic(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "de"
+    assert out[5] == "und"
+
+
+def test_quality_score_bounds(docs):
+    for r in textstats.quality_score(docs).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["unique_ratio"] <= 1.0
+
+
+def test_fingerprint_short_doc_sentinel(docs):
+    out = {r["doc_id"]: r for r in textstats.fingerprint(docs).collect()}
+    assert out[5]["n_shingles"] == 0 and out[5]["fp_min"] == -1 and out[5]["fp_sum"] == 0
+    assert out[0]["fp_min"] == out[1]["fp_min"] and out[0]["fp_sum"] == out[1]["fp_sum"]
+
+
+# ---------------------------------------------------------------------------
+# similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8).astype(np.float32)
+    rows = []
+    for i in range(30):
+        v = rng.normal(size=8).astype(np.float32)
+        if i % 5 == 0:
+            v = base + 0.01 * v  # cluster of near-dups of `base`
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ranks_near_dups_first(emb):
+    out = similarity.cosine_topk(emb, n_queries=1, k=5).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    top = out[0]
+    assert top["vec_id"] % 5 == 0 and top["cosine"] > 0.99  # same cluster
+
+
+def test_ann_results_subset_of_bucket_and_exactly_scored(emb):
+    sigs = {r["vec_id"]: r["sig"] for r in similarity.lsh_signatures(emb, n_planes=8).collect()}
+    ann = similarity.ann_lsh_topk(emb, n_queries=2, k=10, n_planes=8).collect()
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in similarity.cosine_topk(emb, n_queries=2, k=29).collect()
+    }
+    assert len(ann) > 0
+    for r in ann:
+        assert sigs[r["vec_id"]] == sigs[r["query_id"]]          # same bucket only
+        assert brute[(r["query_id"], r["vec_id"])] == r["cosine"]  # exact scores
+
+
+def test_embedding_dup_pairs_cluster(emb):
+    pairs = dedup.embedding_dup_pairs(emb, threshold=0.99).collect()
+    ids = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert (0, 5) in ids or (0, 10) in ids
+    for r in pairs:
+        assert r["vec_a"] < r["vec_b"]
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+
+
+def test_media_schema_and_stats(docs):
+    m = multimodal.to_media(docs)
+    assert [f.name for f in m.schema.fields] == [
+        f.name for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+    stats = {r["doc_id"]: r for r in multimodal.media_stats(docs).collect()}
+    assert stats[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert stats[0]["kind"] == "image" and stats[1]["kind"] == "audio"
+
+
+def test_frame_sample_plumbing(docs):
+    frames = multimodal.frame_sample(multimodal.to_media(docs), frame_size=16, max_frames=3)
+    rows = frames.filter(F.col("doc_id") == 0).orderBy("frame_no").collect()
+    payload = b"the quick brown fox jumps over the lazy dog"
+    decoded = multimodal.fake_decode_payload(payload, "image")
+    assert len(decoded) % 16 == 0
+    assert len(rows) == 3  # ceil(48/16) capped at 3
+    for r in rows:
+        chunk = decoded[r["frame_no"] * 16 : (r["frame_no"] + 1) * 16]
+        assert bytes(r["frame_bytes"]) == chunk.tobytes()
+        assert r["frame_checksum"] == int(chunk.astype(np.uint64).sum())
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_payload(b"xx", "image")

@@ -1,0 +1,305 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+Every operator returns a deterministic DataFrame with an exact DuckDB oracle
+(plans/pipeline_gate.py). Hashes are the shared md5-based h60 (identical in
+both engines, see pipeline/hashing.py).
+
+Scale notes (1000 executors / 10^12 docs):
+- exact: one shuffle keyed by a 60-bit content hash — uniformly distributed,
+  no skew by construction.
+- n-gram Jaccard is quadratic in docs-per-shingle: at scale it runs *after*
+  MinHash-LSH banding has cut the candidate space, never standalone. Hot
+  shingles (boilerplate) are the skew risk → drop shingles with
+  df > cap before the pair join (same trick as the index build's hot terms).
+- MinHash-LSH: candidate generation is a self-join on (band, band_hash) —
+  a uniform hash key. The verify stage re-computes exact Jaccard only on
+  candidates.
+- SimHash banding is lossless for hamming ≤ n_chunks − 1 (pigeonhole):
+  the Spark plan joins on 4×15-bit chunks while the oracle brute-forces all
+  pairs — identical output, which is itself a test that the LSH plan loses
+  nothing.
+- embedding-cosine: brute force here (oracle-checkable); the ANN path for
+  scale is pipeline/similarity.py's hyperplane-LSH bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from websearchengine_spark.pipeline.hashing import h60, shingles, tokens
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by full-content hash: one survivor (min doc_id) per
+    distinct text. (doc_id, n_copies), doc_id = canonical survivor."""
+    return (
+        docs.groupBy(h60("text").alias("text_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+
+def _shingle_rows(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, n_sh, shingle) exploded distinct k-shingles."""
+    sh = shingles(tokens(F.col("text")), k=k, distinct=True)
+    return (
+        docs.select("doc_id", sh.alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5, shingle_df_cap: int | None = None
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via shingle-inverted self-join.
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``shingle_df_cap`` drops shingles appearing in more than cap docs before
+    the pair join (boilerplate = skew + quadratic blowup; dropping them can
+    only lower Jaccard estimates for pairs sharing *only* boilerplate)."""
+    rows = _shingle_rows(docs, k)
+    if shingle_df_cap is not None:
+        keep = (
+            rows.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") <= shingle_df_cap)
+            .select("shingle")
+        )
+        rows = rows.join(keep, "shingle")
+    a = rows.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = rows.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
+    """MinHash signature rows (doc_id, seed, minhash): for each of
+    ``num_hashes`` seeded hash functions h_i(s) = h60(i || ':' || s), the min
+    over the doc's distinct k-shingles. Docs with no shingles emit nothing.
+
+    Plan shape: explode shingles × seeds → min-aggregate. The seed fan-out
+    happens *after* the distinct-shingle explode (array of seeds, JVM-side),
+    so text is tokenized once."""
+    rows = _shingle_rows(docs, k)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    seeded = rows.select(
+        "doc_id", F.explode(seeds).alias("seed"), "shingle"
+    ).withColumn(
+        "h",
+        h60(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))),
+    )
+    return seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band signatures → bucket self-join →
+    exact-Jaccard verify ≥ threshold. (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Banding: ``bands`` bands of r = num_hashes/bands rows; band key =
+    h60(band || '|' || minhashes joined ','). A pair is a candidate iff some
+    band matches; every candidate is then verified with the *exact* Jaccard
+    (so false positives cost time, never correctness)."""
+    r = num_hashes // bands
+    assert bands * r == num_hashes
+    sigs = minhash_signatures(docs, num_hashes=num_hashes, k=k)
+    ordered = sigs.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("seed", "minhash"))
+        ).alias("sm")
+    )
+    mhs = F.transform(F.col("sm"), lambda s: s["minhash"].cast("string"))
+    band_rows = (
+        ordered.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+            mhs.alias("mhs"),
+        )
+        .withColumn(
+            "band_key",
+            h60(
+                F.concat_ws(
+                    "|",
+                    F.col("band").cast("string"),
+                    F.concat_ws(",", F.slice("mhs", F.col("band") * r + 1, r)),
+                )
+            ),
+        )
+        .select("doc_id", "band", "band_key")
+    )
+    cand = (
+        band_rows.alias("x")
+        .join(band_rows.alias("y"), ["band", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify: exact Jaccard on the candidate pairs only
+    sh = docs.select(
+        "doc_id", shingles(tokens(F.col("text")), k=k, distinct=True).alias("sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sha") + F.size("shb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+SIMHASH_BITS = 60  # stays positive in a signed int64 (no UBIGINT in Spark)
+SIMHASH_CHUNKS = 4
+CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash over whitespace tokens weighted by term frequency:
+    bit j = 1 iff Σ_tokens tf·(±1 from bit j of h60(token)) > 0.
+    (doc_id, simhash). Docs with no tokens get simhash 0.
+
+    Plan: tokens → (token, tf) via exploded groupBy → 60-way bit explode of
+    the *per-distinct-token* hash (term space ≪ token space) → sign-sum →
+    bit reassembly. All JVM-side."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", h60("tok"))
+    )
+    bits = tf.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    ).withColumn(
+        "w",
+        F.when(
+            F.expr("shiftright(h, cast(j as int))").bitwiseAND(F.lit(1)) == 1,
+            F.col("tf"),
+        ).otherwise(-F.col("tf")),
+    )
+    comps = bits.groupBy("doc_id", "j").agg(F.sum("w").alias("v"))
+    fp = comps.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    return docs.select("doc_id").join(fp, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ max_hamming.
+    (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Candidate generation is chunk-LSH: the 60-bit fingerprint splits into 4
+    15-bit chunks; any pair within hamming ≤ 3 must agree on ≥ 1 chunk
+    (pigeonhole), so joining on chunk equality is *lossless* — the DuckDB
+    oracle brute-forces all pairs and must match exactly."""
+    assert max_hamming <= SIMHASH_CHUNKS - 1, "chunk-LSH lossless only to chunks-1"
+    fps = simhash(docs)
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("c"),
+    ).withColumn(
+        "chunk",
+        F.expr(f"shiftright(simhash, cast(c * {CHUNK_BITS} as int))").bitwiseAND(
+            F.lit((1 << CHUNK_BITS) - 1)
+        ),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["c", "chunk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("fa"),
+            F.col("y.simhash").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold over all pairs.
+    (vec_a, vec_b, cosine), vec_a < vec_b. Brute force (oracle-checkable);
+    the LSH-bucketed scale path is similarity.ann_lsh_topk's bucketing."""
+    from websearchengine_spark.pipeline.similarity import cosine_col
+
+    e = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All pure JVM-side column expressions (whole-stage codegen; zero Python in
+the hot path) over the ``documents`` table. Each has an exact DuckDB oracle
+in plans/pipeline_gate.py. At 100 TB these are embarrassingly parallel
+narrow maps — no shuffle at all except the optional aggregations callers add.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from websearchengine_spark.pipeline.hashing import MASK40, h60, shingles, tokens
+
+# small multilingual stopword sets for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+}
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counting: whitespace tokens, distinct tokens, chars,
+    average token length. (doc_id, n_tokens, n_unique, n_chars, avg_token_len)."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(
+            F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(0.0)), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document-quality score in [0,1] from length, lexical
+    diversity, and stopword ratio (natural text sits near a stopword ratio
+    of ~0.4; too low = keyword spam, too high = filler).
+
+    score = 0.3·min(n_tokens/100, 1) + 0.4·unique_ratio
+          + 0.3·(1 − |stop_ratio − 0.4|)
+    """
+    toks = tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    stops = F.size(
+        F.filter(toks, lambda t: t.isin(*QUALITY_STOPWORDS))
+    ).cast("double")
+    unique_ratio = F.when(n > 0, uniq / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, stops / n).otherwise(F.lit(0.0))
+    score = (
+        0.3 * F.least(n / 100.0, F.lit(1.0))
+        + 0.4 * unique_ratio
+        + 0.3 * (1.0 - F.abs(stop_ratio - 0.4))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(unique_ratio, 6).alias("unique_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(F.when(n > 0, score).otherwise(F.lit(0.0)), 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit-ratio language ID (deterministic argmax with a fixed
+    tie-break order de < en < fr; 'und' = undetermined when no list hits).
+    (doc_id, lang_pred, lang_confidence)."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    ratios = {
+        lang: F.when(
+            n > 0,
+            F.size(F.filter(toks, lambda t: t.isin(*sw))).cast("double") / n,
+        ).otherwise(F.lit(0.0))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*ratios.values())
+    pred = F.when(best <= 0.0, F.lit("und"))
+    for lang in sorted(LANG_STOPWORDS):  # fixed tie-break: first max wins
+        pred = pred.when(ratios[lang] == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        F.round(best, 6).alias("lang_confidence"),
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Content fingerprint from k-token shingle hashes (the rolling-hash
+    document signature): min-hash + order-independent 40-bit-masked sum —
+    two independent 64-bit-safe digests. Docs with < k tokens get (-1, 0).
+    (doc_id, n_shingles, fp_min, fp_sum)."""
+    sh = shingles(tokens(F.col("text")), k=k, distinct=True)
+    hashes = F.transform(sh, lambda s: h60(s))
+    return docs.select(
+        "doc_id",
+        F.size(sh).cast("long").alias("n_shingles"),
+        F.coalesce(F.array_min(hashes), F.lit(-1)).cast("long").alias("fp_min"),
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + h.bitwiseAND(F.lit(MASK40)),
+        ).alias("fp_sum"),
+    )

@@ -105,21 +105,6 @@ class BlockIndexPaths:
         return os.path.join(self.root, "checkpoints")
 
 
-def _postings_with_dl(docs: DataFrame) -> DataFrame:
-    """(term, doc_id, tf, dl) — doc length carried from the tokenize-count
-    UDF output, NOT joined in later (kills a postings×doc_stats shuffle
-    that would be the biggest join in the build at 100 TB)."""
-    tokenized = docs.select(
-        "doc_id", tokenize_count_udf(F.col("text")).alias("tcs")
-    ).withColumn(
-        "dl",
-        F.aggregate("tcs", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]),
-    )
-    return tokenized.select("doc_id", "dl", F.explode("tcs").alias("tc")).select(
-        F.col("tc.term").alias("term"), "doc_id", F.col("tc.tf").alias("tf"), "dl"
-    )
-
-
 def _make_encoder(avg_dl: float, block_size: int, n_buckets: int):
     k1, b = K1, B
 
@@ -185,19 +170,32 @@ def build_block_index(
     t0 = time.time()
 
     docs = docs_table(transcripts, num_partitions=num_partitions)
-    postings = _postings_with_dl(docs).persist()
+    # Tokenize-count exactly ONCE for the whole build: postings, doc_stats,
+    # lexicon, and corpus stats all derive from this cached frame. (An earlier
+    # version tokenized three times — at 100 TB the tokenizer UDF is the
+    # single most expensive stage, so every re-run of it doubles the build.)
+    tokenized = (
+        docs.withColumn("tcs", tokenize_count_udf(F.col("text")))
+        .withColumn(
+            "dl",
+            F.aggregate("tcs", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]),
+        )
+        .drop("text")
+        .persist()
+    )
 
-    doc_stats = docs.withColumn(
-        "term_cnt",
-        F.aggregate(
-            tokenize_count_udf(F.col("text")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x["tf"],
-        ),
-    ).select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "term_cnt")
+    doc_stats = tokenized.select(
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+        F.col("dl").alias("term_cnt"),
+    )
+    postings = (
+        tokenized.select("doc_id", "dl", F.explode("tcs").alias("tc"))
+        .select(F.col("tc.term").alias("term"), "doc_id", F.col("tc.tf").alias("tf"), "dl")
+        .persist()
+    )
 
-    stats = doc_stats.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("term_cnt").alias("avgdl")
+    stats = tokenized.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     n_docs, avg_dl = int(stats["n"]), float(stats["avgdl"] or 0.0)
 
@@ -255,10 +253,16 @@ def build_block_index(
         blocks = to_build.groupBy("term", "salt").applyInPandas(
             _make_encoder(avg_dl, block_size, n_buckets), BLOCK_SCHEMA
         )
-        # dynamic partition overwrite → idempotent per-bucket commits
+        # dynamic partition overwrite → idempotent per-bucket commits.
+        # Blocks are sorted by (term, doc_lo) within each bucket file and
+        # written with small row groups so the serving reader's predicate
+        # pushdown prunes to the few row groups holding the query terms
+        # (parquet min/max stats on `term`) instead of scanning the bucket.
         (
             blocks.repartition("bucket")
+            .sortWithinPartitions("term", "doc_lo")
             .write.partitionBy("bucket")
+            .option("parquet.block.size", str(1 << 20))
             .mode("overwrite")
             .parquet(paths.blocks)
         )
@@ -311,7 +315,10 @@ def build_block_index(
     if complete:
         (
             lexicon.withColumn("bucket", (F.crc32(F.col("term")) % n_buckets).cast("int"))
+            .repartition("bucket")
+            .sortWithinPartitions("term")
             .write.partitionBy("bucket")
+            .option("parquet.block.size", str(256 << 10))
             .mode("overwrite")
             .parquet(paths.lexicon)
         )
@@ -324,6 +331,7 @@ def build_block_index(
 
     n_postings = sum(int(r["n_postings"]) for r in per_bucket.values())
     postings.unpersist()
+    tokenized.unpersist()
     return BuildMetrics(
         build_id=build_id,
         n_docs=n_docs,

@@ -81,23 +81,18 @@ def build_logical_index(
 ) -> LogicalIndex:
     docs = docs_table(transcripts, num_partitions=num_partitions)
 
-    # tokenize-count once; per-(doc,term) rows instead of per-token rows
-    # (pre-aggregated in the UDF — cuts shuffle volume by the avg tf)
-    tokenized = docs.select(
-        "doc_id", tokenize_count_udf(F.col("text")).alias("tcs")
+    # tokenize-count ONCE; per-(doc,term) rows instead of per-token rows
+    # (pre-aggregated in the UDF — cuts shuffle volume by the avg tf).
+    # doc length = Σ tf computed JVM-side in the same projection, so
+    # doc_stats is a narrow dependency of the tokenize stage — no join.
+    tokenized = docs.withColumn(
+        "tcs", tokenize_count_udf(F.col("text"))
+    ).withColumn(
+        "term_cnt",
+        F.aggregate("tcs", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]),
     )
-    # doc length = Σ tf, computed JVM-side from the already-counted structs
-    doc_stats = (
-        docs.join(
-            tokenized.select(
-                "doc_id",
-                F.aggregate(
-                    "tcs", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
-                ).alias("term_cnt"),
-            ),
-            "doc_id",
-        )
-        .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "term_cnt")
+    doc_stats = tokenized.select(
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "term_cnt"
     )
     postings = tokenized.select(
         "doc_id", F.explode("tcs").alias("tc")

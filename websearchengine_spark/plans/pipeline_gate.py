@@ -1,0 +1,438 @@
+"""Correctness-gate entries for the training-data pipeline operators
+(pipeline/*): Spark implementation + exact DuckDB oracle SQL.
+
+Same exactness rules as plans/gate_queries.py: shared md5-based h60 hash
+(identical integers both engines), ROUND(...,6) on float outputs, identical
+column aliases. The `documents` / `embeddings` parquet tables are
+pre-registered as DuckDB views by the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from websearchengine_spark.pipeline import dedup, multimodal, similarity, textstats
+from websearchengine_spark.pipeline.hashing import MASK40, sql_h60, sql_shingles, sql_tokens
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+
+SQL_TOKS = f"toks AS (SELECT doc_id, {sql_tokens('text')} AS l FROM documents)"
+SQL_SH = f"sh AS (SELECT doc_id, {sql_shingles('l', 3)} AS s FROM toks)"
+SQL_EMB = (
+    "emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v"
+    " FROM embeddings)"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+def q_token_stats(spark, sf_dir):
+    return textstats.token_stats(_docs(spark, sf_dir))
+
+
+SQL_TOKEN_STATS = f"""
+WITH {SQL_TOKS}
+SELECT doc_id,
+       len(l)::BIGINT AS n_tokens,
+       len(list_distinct(l))::BIGINT AS n_unique,
+       length(d.text)::BIGINT AS n_chars,
+       ROUND(CASE WHEN len(l) > 0
+             THEN list_aggregate(list_transform(l, x -> len(x)), 'sum')::DOUBLE / len(l)
+             ELSE 0.0 END, 6) AS avg_token_len
+FROM toks JOIN documents d USING (doc_id)
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+_STOPS_SQL = "', '".join(textstats.QUALITY_STOPWORDS)
+SQL_QUALITY = f"""
+WITH {SQL_TOKS},
+f AS (
+  SELECT doc_id,
+         len(l)::DOUBLE AS n,
+         len(list_distinct(l))::DOUBLE AS uniq,
+         len(list_filter(l, t -> t IN ('{_STOPS_SQL}')))::DOUBLE AS stops
+  FROM toks
+)
+SELECT doc_id,
+       n::BIGINT AS n_tokens,
+       ROUND(CASE WHEN n > 0 THEN uniq / n ELSE 0.0 END, 6) AS unique_ratio,
+       ROUND(CASE WHEN n > 0 THEN stops / n ELSE 0.0 END, 6) AS stop_ratio,
+       ROUND(CASE WHEN n > 0 THEN
+           0.3 * least(n / 100.0, 1.0)
+         + 0.4 * (uniq / n)
+         + 0.3 * (1.0 - abs(stops / n - 0.4))
+       ELSE 0.0 END, 6) AS quality
+FROM f
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _sql_lang_id() -> str:
+    ratio_cols = []
+    for lang, sw in textstats.LANG_STOPWORDS.items():
+        lst = "', '".join(sw)
+        ratio_cols.append(
+            f"CASE WHEN len(l) > 0 THEN len(list_filter(l, t -> t IN"
+            f" ('{lst}')))::DOUBLE / len(l) ELSE 0.0 END AS r_{lang}"
+        )
+    langs = sorted(textstats.LANG_STOPWORDS)
+    best = f"greatest({', '.join('r_' + x for x in langs)})"
+    pred = "CASE WHEN best <= 0.0 THEN 'und' " + " ".join(
+        f"WHEN r_{x} = best THEN '{x}'" for x in langs
+    ) + " END"
+    return f"""
+WITH {SQL_TOKS},
+r AS (SELECT doc_id, {', '.join(ratio_cols)} FROM toks),
+b AS (SELECT *, {best} AS best FROM r)
+SELECT doc_id, {pred} AS lang_pred, ROUND(best, 6) AS lang_confidence FROM b
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINT = f"""
+WITH {SQL_TOKS}, {SQL_SH},
+h AS (SELECT doc_id, len(s)::BIGINT AS n_shingles,
+             list_transform(s, x -> {sql_h60('x')}) AS hs
+      FROM sh)
+SELECT doc_id, n_shingles,
+       COALESCE(list_aggregate(hs, 'min'), -1)::BIGINT AS fp_min,
+       COALESCE(list_aggregate(list_transform(hs, x -> x & {MASK40}), 'sum'), 0)::BIGINT AS fp_sum
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_EXACT_DEDUP = f"""
+SELECT MIN(doc_id)::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_copies
+FROM documents GROUP BY {sql_h60('text')}
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {SQL_TOKS}, {SQL_SH},
+e AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+         COUNT(*) AS i
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+         ROUND(i::DOUBLE / (na + nb - i)::DOUBLE, 6) AS jaccard
+  FROM inter
+) WHERE jaccard >= 0.5
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=16, k=3)
+
+
+SQL_MINHASH_SIGS = f"""
+WITH {SQL_TOKS}, {SQL_SH},
+e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+seeded AS (
+  SELECT doc_id, g.seed, {sql_h60("seed::VARCHAR || ':' || shingle")} AS h
+  FROM e CROSS JOIN generate_series(0, 15) AS g(seed)
+)
+SELECT doc_id, seed::BIGINT AS seed, MIN(h)::BIGINT AS minhash
+FROM seeded GROUP BY doc_id, seed
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=16, bands=4, k=3, threshold=0.5
+    )
+
+
+SQL_MINHASH_LSH = f"""
+WITH {SQL_TOKS}, {SQL_SH},
+e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+seeded AS (
+  SELECT doc_id, g.seed, {sql_h60("seed::VARCHAR || ':' || shingle")} AS h
+  FROM e CROSS JOIN generate_series(0, 15) AS g(seed)
+),
+sigs AS (SELECT doc_id, seed, MIN(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+bandsig AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS sig
+  FROM sigs GROUP BY doc_id, seed // 4
+),
+keys AS (
+  SELECT doc_id, band, {sql_h60("band::VARCHAR || '|' || sig")} AS band_key
+  FROM bandsig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM keys x JOIN keys y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.s, b.s))::DOUBLE AS i,
+         len(a.s)::DOUBLE AS na, len(b.s)::DOUBLE AS nb
+  FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+         ROUND(i / (na + nb - i), 6) AS jaccard
+  FROM verified
+) WHERE jaccard >= 0.5
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+SQL_SIMHASH_FP = f"""
+{SQL_TOKS},
+tf AS (
+  SELECT doc_id, tok, COUNT(*)::BIGINT AS tf, {sql_h60('tok')} AS h
+  FROM (SELECT doc_id, unnest(l) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+comps AS (
+  SELECT doc_id, g.j,
+         SUM(CASE WHEN (h >> g.j) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM tf CROSS JOIN generate_series(0, 59) AS g(j)
+  GROUP BY doc_id, g.j
+),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+  FROM comps GROUP BY doc_id
+)
+"""
+
+SQL_SIMHASH = f"""
+WITH {SQL_SIMHASH_FP}
+SELECT d.doc_id, COALESCE(fp.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN fp USING (doc_id)
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# oracle brute-forces all pairs; the Spark plan is chunk-LSH-banded —
+# identical output by the pigeonhole argument (see dedup.simhash_dup_pairs)
+SQL_SIMHASH_PAIRS = f"""
+WITH {SQL_SIMHASH_FP},
+f AS (SELECT d.doc_id, COALESCE(fp.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN fp USING (doc_id))
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_embedding_dup(spark, sf_dir):
+    return dedup.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+SQL_COS = (
+    "CASE WHEN list_dot_product({a}, {a}) > 0 AND list_dot_product({b}, {b}) > 0"
+    " THEN list_dot_product({a}, {b})"
+    " / sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b}))"
+    " ELSE 0.0 END"
+)
+
+SQL_EMBEDDING_DUP = f"""
+WITH {SQL_EMB}
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+         ROUND({SQL_COS.format(a='a.v', b='b.v')}, 6) AS cosine
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+def q_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir), n_queries=5, k=10)
+
+
+SQL_COSINE_TOPK = f"""
+WITH {SQL_EMB},
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND({SQL_COS.format(a='q.qv', b='e.v')}, 6) AS cosine
+  FROM q CROSS JOIN emb e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT query_id::BIGINT AS query_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank,
+         vec_id::BIGINT AS vec_id, cosine
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_lsh_signatures(spark, sf_dir):
+    return similarity.lsh_signatures(_emb(spark, sf_dir), n_planes=8)
+
+
+SQL_LSH_SIG_BODY = f"""
+fx AS (
+  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * {similarity.FIXED_POINT})::BIGINT) AS fv
+  FROM embeddings
+),
+comps AS (
+  SELECT vec_id, d.d, fv[d.d + 1] AS x, p.p,
+         CASE WHEN {sql_h60("p.p::VARCHAR || ':' || d.d::VARCHAR")} & 1 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM fx
+  CROSS JOIN generate_series(0, 63) AS d(d)  -- embeddings table is 64-dim
+  CROSS JOIN generate_series(0, 7) AS p(p)
+),
+dots AS (SELECT vec_id, p, SUM(sgn * x) AS dot FROM comps GROUP BY vec_id, p),
+sig AS (
+  SELECT vec_id, SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY vec_id
+)
+"""
+
+SQL_LSH_SIGNATURES = f"""
+WITH {SQL_LSH_SIG_BODY}
+SELECT vec_id, sig FROM sig
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return similarity.ann_lsh_topk(_emb(spark, sf_dir), n_queries=5, k=10, n_planes=8)
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH {SQL_EMB}, {SQL_LSH_SIG_BODY},
+ev AS (SELECT e.vec_id, e.v, s.sig FROM emb e JOIN sig s USING (vec_id)),
+q AS (SELECT vec_id AS query_id, v AS qv, sig AS qsig FROM ev WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND({SQL_COS.format(a='q.qv', b='e.v')}, 6) AS cosine
+  FROM q JOIN ev e ON e.sig = q.qsig AND e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT query_id::BIGINT AS query_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank,
+         vec_id::BIGINT AS vec_id, cosine
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+
+def q_media_stats(spark, sf_dir):
+    return multimodal.media_stats(_docs(spark, sf_dir))
+
+
+_KINDS_SQL = "', '".join(multimodal.KINDS)
+SQL_MEDIA_STATS = f"""
+SELECT doc_id,
+       (['{_KINDS_SQL}'])[(doc_id % 3 + 1)::INT] AS kind,
+       octet_length(text::BLOB)::BIGINT AS n_bytes,
+       md5(text) AS checksum_md5
+FROM documents
+"""
+
+
+def q_frame_checksums(spark, sf_dir):
+    return multimodal.frame_checksums(_docs(spark, sf_dir), frame_size=64, max_frames=4)
+
+
+# frames: payload (ASCII text bytes) zero-padded to a multiple of 16, split
+# into 64-byte frames (≤ 4); checksum = byte-value sum (padding adds 0)
+SQL_FRAME_CHECKSUMS = """
+WITH m AS (
+  SELECT doc_id, text, octet_length(text::BLOB) AS nb,
+         ((octet_length(text::BLOB) + 15) // 16) * 16 AS padded
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, text, g.i AS frame_no, nb, padded
+  FROM m CROSS JOIN generate_series(0, 3) AS g(i)
+  WHERE g.i < least(4, greatest(1, (padded + 63) // 64))
+)
+SELECT doc_id, frame_no::BIGINT AS frame_no,
+       least(64, padded - frame_no * 64)::BIGINT AS n_bytes,
+       COALESCE(list_aggregate(
+         list_transform(string_split(substr(text, frame_no * 64 + 1, 64), ''),
+                        c -> ord(c)), 'sum'), 0)::BIGINT AS frame_checksum
+FROM fr
+"""
+
+
+# ---------------------------------------------------------------------------
+
+def pipeline_entries() -> dict[str, tuple]:
+    """name → (spark_fn, sql | None)."""
+    return {
+        "ts_token_stats": (q_token_stats, SQL_TOKEN_STATS),
+        "ts_quality_score": (q_quality_score, SQL_QUALITY),
+        "ts_lang_id": (q_lang_id, _sql_lang_id()),
+        "ts_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        "dd_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+        "dd_ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+        "dd_minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGS),
+        "dd_minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
+        "dd_simhash": (q_simhash, SQL_SIMHASH),
+        "dd_simhash_dup_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+        "dd_embedding_dup_pairs": (q_embedding_dup, SQL_EMBEDDING_DUP),
+        "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+        "sim_lsh_signatures": (q_lsh_signatures, SQL_LSH_SIGNATURES),
+        "sim_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+        "mm_media_stats": (q_media_stats, SQL_MEDIA_STATS),
+        "mm_frame_checksums": (q_frame_checksums, SQL_FRAME_CHECKSUMS),
+    }
+
+
+def pipeline_bench_fns() -> dict[str, callable]:
+    """The heavier pipeline ops, timed by bench.py."""
+    return {
+        "pl_minhash_lsh_dedup": q_minhash_lsh,
+        "pl_simhash_dup_pairs": q_simhash_pairs,
+        "pl_cosine_topk": q_cosine_topk,
+        "pl_quality_score": q_quality_score,
+    }
