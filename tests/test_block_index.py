@@ -38,9 +38,14 @@ def index_dir(spark, fixture, tmp_path_factory):
     return out
 
 
-@pytest.fixture(scope="module")
-def reader(index_dir):
-    return BlockIndexReader(index_dir)
+@pytest.fixture(scope="module", params=["taat", "wand"])
+def reader(index_dir, request):
+    """Both serving paths — vectorized term-at-a-time (dense lists) and
+    block-max WAND/intersection (selective lists) — must be rank-identical
+    to the oracle; taat_threshold=0 forces the pointer-loop path."""
+    if request.param == "taat":
+        return BlockIndexReader(index_dir)
+    return BlockIndexReader(index_dir, taat_threshold=0)
 
 
 @pytest.mark.parametrize("conjunctive", [True, False], ids=["conj", "disj"])

@@ -44,6 +44,19 @@ def vb_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vb_value_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (1..10) — lets callers split one
+    whole-list vb_encode stream at arbitrary value boundaries (vb coding is
+    per-value independent, so the concatenation property is exact)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    ngroups = np.ones(v.size, dtype=np.int64)
+    rest = v >> np.uint64(7)
+    while rest.any():
+        ngroups += (rest > 0).astype(np.int64)
+        rest >>= np.uint64(7)
+    return ngroups
+
+
 def vb_decode(buf: bytes) -> np.ndarray:
     """Decode a varbyte stream back to a uint64 array (vectorized)."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -105,6 +105,79 @@ def tokenize_count_series(texts: pd.Series) -> pd.Series:
     return pd.Series(out, index=texts.index)
 
 
+def tokenize_postings_frame(pdf: pd.DataFrame, meta_cols: list[str]) -> pd.DataFrame:
+    """Vectorized batch tokenizer for the build hot path (mapInPandas body).
+
+    In: a batch of docs with at least (doc_id, text) + ``meta_cols``.
+    Out: flat rows of two kinds —
+      posting rows: (doc_id, term, tf, dl) with meta cols null;
+      doc rows:     (doc_id, term=NULL, tf=0, dl) with meta cols set
+                    (one per doc, including token-less docs).
+
+    No per-row Python in the counting path: one C-level regex findall per
+    text, then a single pandas groupby over the flattened (row, term) frame
+    — no Counter, no per-term dicts, no nested Arrow structs. This is ~10×
+    the throughput of the list[struct] scalar-UDF path at build scale.
+    """
+    from itertools import chain
+
+    n = len(pdf)
+    findall = WORD_RE.findall
+    lowered = pdf["text"].fillna("").str.translate(ASCII_LOWER)
+    toks = [findall(s) for s in lowered]
+    lens = np.fromiter((len(t) for t in toks), np.int64, n)
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+
+    if lens.sum() > 0:
+        # (row, term) → tf entirely in C: factorize terms to int codes, fuse
+        # (row, code) into one int64 key, np.unique(counts). No pandas
+        # groupby over object strings (≈10× slower), no per-row Counter.
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        codes, uniques = pd.factorize(
+            np.asarray(list(chain.from_iterable(toks)), dtype=object)
+        )
+        key = rows * np.int64(len(uniques)) + codes
+        uk, counts = np.unique(key, return_counts=True)
+        r_idx = (uk // len(uniques)).astype(np.int64)
+        k = len(uk)
+        post_doc = doc_ids[r_idx]
+        post_term = np.asarray(uniques, dtype=object)[uk % len(uniques)]
+        post_tf = counts.astype(np.int64)
+        post_dl = lens[r_idx]
+    else:
+        k = 0
+        post_doc = post_term = post_tf = post_dl = np.empty(0, dtype=np.int64)
+
+    # one frame, columns typed so the Arrow conversion stays on fast paths:
+    # object-of-(str|None) for strings, nullable Int32 for ints, datetime64
+    # with NaT for timestamps. Mixed-object columns (None + Timestamp) are
+    # the slow path — they force per-element type inference.
+    out = {
+        "doc_id": np.concatenate([post_doc, doc_ids]),
+        "term": np.concatenate([post_term, np.full(n, None, dtype=object)]),
+        "tf": np.concatenate([post_tf, np.zeros(n, dtype=np.int64)]),
+        "dl": np.concatenate([post_dl, lens]),
+    }
+    frame = pd.DataFrame(out)
+    for c in meta_cols:
+        src = pdf[c]
+        if str(src.dtype).startswith("datetime"):
+            vals = np.full(k + n, np.datetime64("NaT"), dtype="datetime64[ns]")
+            vals[k:] = src.to_numpy(dtype="datetime64[ns]")
+            frame[c] = vals
+        elif pd.api.types.is_integer_dtype(src.dtype):
+            vals = np.concatenate(
+                [np.zeros(k, dtype=np.int64), src.to_numpy(dtype=np.int64)]
+            )
+            mask = np.concatenate([np.ones(k, bool), np.zeros(n, bool)])
+            frame[c] = pd.arrays.IntegerArray(vals, mask)
+        else:
+            vals = np.full(k + n, None, dtype=object)
+            vals[k:] = src.to_numpy(dtype=object)
+            frame[c] = vals
+    return frame
+
+
 def doc_length_series(texts: pd.Series) -> pd.Series:
     """Series[str] → Series[int64]: BM25 doc length = total token count
     (create_index.cpp:376)."""

@@ -33,13 +33,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def assign_doc_ids(
+def ordered_partitions(
     df: DataFrame,
     order_cols: Sequence[str] = ("conv_id", "turn_idx"),
     num_partitions: int | None = None,
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Add a dense 0-based int64 ``id_col`` = rank in the total order."""
+) -> tuple[DataFrame, dict[int, int]]:
+    """Range-partition + sort df by the total order and return the cached
+    partitioned frame plus per-partition docID offsets (prefix sums).
+
+    Exposed separately so callers can FUSE the ID-assignment into their own
+    mapInPandas stage (e.g. the index build fuses ids+tokenize into one
+    Python crossing — at 100 TB each extra Arrow round-trip of the text
+    column is a full extra scan's worth of serialization)."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = (
@@ -58,6 +63,17 @@ def assign_doc_ids(
     for pid in range(max(counts) + 1 if counts else 0):
         offsets[pid] = acc
         acc += counts.get(pid, 0)
+    return part, offsets
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    num_partitions: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add a dense 0-based int64 ``id_col`` = rank in the total order."""
+    part, offsets = ordered_partitions(df, order_cols, num_partitions)
 
     schema = T.StructType(df.schema.fields + [T.StructField(id_col, T.LongType(), False)])
 
@@ -70,4 +86,9 @@ def assign_doc_ids(
             seen += len(pdf)
             yield pdf
 
-    return part.mapInPandas(add_ids, schema)
+    out = part.mapInPandas(add_ids, schema)
+    # hand the cache back to the caller for release once downstream frames
+    # are materialized (a leaked MEMORY_AND_DISK cache per build run
+    # accumulates across builds in one session)
+    out._docids_cache = part
+    return out

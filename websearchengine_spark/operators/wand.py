@@ -151,6 +151,24 @@ class TermCursor:
         tf_c = tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / self.avg_dl))
         return self.idf * tf_c
 
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode the ENTIRE posting list in three vb_decode calls (not
+        3·n_blocks): the per-block byte blobs are concatenated and decoded as
+        one stream; block-local delta encoding (absolute first value per
+        block) is undone with a segmented cumsum. Used by the vectorized
+        term-at-a-time path for dense lists."""
+        ns = np.array([b.n for b in self.blocks], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+        raw = vb_decode(b"".join(b.ids_vb for b in self.blocks))
+        cs = np.cumsum(raw, dtype=np.uint64)
+        # per-block correction: subtract everything accumulated before the
+        # block, then re-add its absolute first value
+        offsets = cs[starts] - raw[starts]
+        ids = (cs - np.repeat(offsets, ns)).astype(np.int64)
+        tfs = vb_decode(b"".join(b.tfs_vb for b in self.blocks)).astype(np.float64)
+        dls = vb_decode(b"".join(b.dls_vb for b in self.blocks)).astype(np.float64)
+        return ids, tfs, dls
+
     def block_ub(self) -> float:
         b = self.blocks[self.bi]
         return max(self.idf * b.max_tfc, self.idf * b.min_tfc)
@@ -171,7 +189,8 @@ class BlockIndexReader:
     """Driver/serving-side reader of the block index written by
     plans.block_index — no Spark session needed (pyarrow only)."""
 
-    def __init__(self, root: str, result_cache: int = 1000, posting_cache: int = 4096):
+    def __init__(self, root: str, result_cache: int = 1000, posting_cache: int = 4096,
+                 taat_threshold: int = 5_000_000):
         self.paths = BlockIndexPaths(root)
         meta = pq.read_table(self.paths.meta).to_pylist()[0]
         self.n_docs = int(meta["n_docs"])
@@ -181,6 +200,11 @@ class BlockIndexReader:
         self._lex_ds = ds.dataset(self.paths.lexicon, partitioning="hive")
         self._result_cache = _LRU(result_cache)
         self._posting_cache = _LRU(posting_cache)
+        # queries whose total candidate-posting count is below this run the
+        # vectorized term-at-a-time scorer (numpy, C-speed per posting);
+        # above it, block-max WAND's pruning outweighs Python loop overhead
+        # (it skips whole blocks — the dense-vs-selective crossover)
+        self.taat_threshold = taat_threshold
 
     # ---- index access -----------------------------------------------------
     def lexicon_rows(self, terms: list[str]) -> dict[str, int]:
@@ -218,6 +242,48 @@ class BlockIndexReader:
                 self._posting_cache.put(("blk", t), blks)
         return {t: self._posting_cache.get_(("blk", t)) or [] for t in terms}
 
+    def _fetch_arrays(self, terms: list[str]) -> dict[str, tuple]:
+        """term → decoded (ids:int64, tfs:f64, dls:f64) full posting arrays,
+        LRU-cached. Columnar fetch — no per-block Python objects (building a
+        _Block per row costs more than decoding for dense lists), one
+        segmented vb_decode per column (TermCursor.decode_all's trick)."""
+        missing = [t for t in terms if ("arr", t) not in self._posting_cache]
+        if missing:
+            buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
+            flt = (ds.field("bucket").isin(buckets)) & (ds.field("term").isin(missing))
+            tbl = self._blocks_ds.to_table(
+                filter=flt,
+                columns=["term", "doc_lo", "n", "ids_vb", "tfs_vb", "dls_vb"],
+            )
+            tcol = tbl.column("term").to_pylist()
+            lo = tbl.column("doc_lo").to_numpy()
+            ns_all = tbl.column("n").to_numpy()
+            ids_vb = tbl.column("ids_vb").to_pylist()
+            tfs_vb = tbl.column("tfs_vb").to_pylist()
+            dls_vb = tbl.column("dls_vb").to_pylist()
+            per: dict[str, list[int]] = {t: [] for t in missing}
+            for i, t in enumerate(tcol):
+                per[t].append(i)
+            for t in missing:
+                idxs = sorted(per.get(t, []), key=lambda i: lo[i])
+                if not idxs:
+                    self._posting_cache.put(("arr", t), None)
+                    continue
+                ns = ns_all[idxs].astype(np.int64)
+                starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+                raw = vb_decode(b"".join(ids_vb[i] for i in idxs))
+                cs = np.cumsum(raw, dtype=np.uint64)
+                offsets = cs[starts] - raw[starts]
+                ids = (cs - np.repeat(offsets, ns)).astype(np.int64)
+                tfs = vb_decode(b"".join(tfs_vb[i] for i in idxs)).astype(np.float64)
+                dls = vb_decode(b"".join(dls_vb[i] for i in idxs)).astype(np.float64)
+                self._posting_cache.put(("arr", t), (ids, tfs, dls))
+        return {
+            t: v
+            for t in terms
+            if (v := self._posting_cache.get_(("arr", t))) is not None
+        }
+
     def _cursors(self, terms: list[str]) -> list[TermCursor]:
         lex = self.lexicon_rows(terms)
         present = [t for t in terms if t in lex]  # OOV silently skipped
@@ -240,19 +306,62 @@ class BlockIndexReader:
         cached = self._result_cache.get_(cache_key)
         if cached is not None:
             return cached
-        cursors = self._cursors(terms)
-        if not cursors:
+        lex = self.lexicon_rows(terms)
+        present = [t for t in terms if t in lex]  # OOV silently skipped
+        if not present:
             self._result_cache.put(cache_key, [])
             return []
-        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap, ≤ k
-        if conjunctive:
-            self._search_conjunctive(cursors, k, heap)
+        if sum(lex[t] for t in present) <= self.taat_threshold:
+            out = self._search_taat(present, lex, k, conjunctive)
         else:
-            self._search_wand(cursors, k, heap)
-        ranked = sorted(((-s, -nd) for s, nd in heap))
-        out = [(i + 1, d, -negs) for i, (negs, d) in enumerate(ranked)]
+            cursors = self._cursors(present)
+            if not cursors:
+                self._result_cache.put(cache_key, [])
+                return []
+            heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap, ≤ k
+            if conjunctive:
+                self._search_conjunctive(cursors, k, heap)
+            else:
+                self._search_wand(cursors, k, heap)
+            ranked = sorted(((-s, -nd) for s, nd in heap))
+            out = [(i + 1, d, -negs) for i, (negs, d) in enumerate(ranked)]
         self._result_cache.put(cache_key, out)
         return out
+
+    def _search_taat(self, present, lex, k, conjunctive) -> list[tuple[int, int, float]]:
+        """Vectorized term-at-a-time scorer: full-list columnar decode
+        (cached), per-term numpy BM25 contribution with the SAME float
+        expression tree as TermCursor.contrib, accumulation in sorted-term
+        order (= the oracle's float summation order, main.cpp:574), exact
+        (score DESC, doc_id ASC) top-k."""
+        arrays = self._fetch_arrays(present)
+        per = []
+        for t in sorted(arrays):
+            ids, tfs, dls = arrays[t]
+            df = int(lex[t])
+            idf = math.log((self.n_docs - df + 0.5) / (df + 0.5))
+            tf_c = tfs * (K1 + 1) / (tfs + K1 * (1 - B + B * dls / self.avg_dl))
+            per.append((ids, idf * tf_c))
+        if not per:
+            return []
+        uids, inv = np.unique(
+            np.concatenate([p[0] for p in per]), return_inverse=True
+        )
+        score = np.zeros(len(uids))
+        cnt = np.zeros(len(uids), dtype=np.int64)
+        pos = 0
+        for ids, contrib in per:  # sorted-term order fixes summation order
+            idx = inv[pos : pos + len(ids)]
+            pos += len(ids)
+            score[idx] += contrib  # each doc appears once per term: no races
+            cnt[idx] += 1
+        if conjunctive:
+            m = cnt == len(per)
+            uids, score = uids[m], score[m]
+        if len(uids) == 0:
+            return []
+        sel = np.lexsort((uids, -score))[: min(k, len(uids))]
+        return [(i + 1, int(uids[s]), float(score[s])) for i, s in enumerate(sel)]
 
     @staticmethod
     def _push(heap, k, score, doc_id):

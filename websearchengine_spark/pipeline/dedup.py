@@ -103,23 +103,41 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
-    """MinHash signature rows (doc_id, seed, minhash): for each of
-    ``num_hashes`` seeded hash functions h_i(s) = h60(i || ':' || s), the min
-    over the doc's distinct k-shingles. Docs with no shingles emit nothing.
+def minhash_wide(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
+    """Wide MinHash signatures (doc_id, mh0..mh{n-1}): for each seeded hash
+    h_i(s) = h60(i || ':' || s), the min over the doc's distinct k-shingles.
+    Docs with no shingles emit nothing.
 
-    Plan shape: explode shingles × seeds → min-aggregate. The seed fan-out
-    happens *after* the distinct-shingle explode (array of seeds, JVM-side),
-    so text is tokenized once."""
+    Plan shape: ONE groupBy(doc_id) with num_hashes min-aggregates over the
+    exploded shingle rows — the seeded hashes are computed as columns of the
+    same row (JVM-side md5), so there is no num_hashes× row blow-up through
+    the shuffle and exactly one aggregation exchange."""
     rows = _shingle_rows(docs, k)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    seeded = rows.select(
-        "doc_id", F.explode(seeds).alias("seed"), "shingle"
-    ).withColumn(
-        "h",
-        h60(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))),
+    aggs = [
+        F.min(
+            h60(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return rows.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
+    """Long-form MinHash signature rows (doc_id, seed, minhash) — a melt of
+    :func:`minhash_wide` (the gate/oracle shape)."""
+    wide = minhash_wide(docs, num_hashes=num_hashes, k=k)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("seed"),
+                F.col(f"mh{i}").alias("minhash"),
+            )
+            for i in range(num_hashes)
+        ]
     )
-    return seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    return wide.select("doc_id", F.explode(pairs).alias("sm")).select(
+        "doc_id", F.col("sm.seed").alias("seed"), F.col("sm.minhash").alias("minhash")
+    )
 
 
 def minhash_lsh_pairs(
@@ -138,31 +156,31 @@ def minhash_lsh_pairs(
     (so false positives cost time, never correctness)."""
     r = num_hashes // bands
     assert bands * r == num_hashes
-    sigs = minhash_signatures(docs, num_hashes=num_hashes, k=k)
-    ordered = sigs.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("seed", "minhash"))
-        ).alias("sm")
+    wide = minhash_wide(docs, num_hashes=num_hashes, k=k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                h60(
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * r + j}").cast("string")
+                                for j in range(r)
+                            ],
+                        ),
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
-    mhs = F.transform(F.col("sm"), lambda s: s["minhash"].cast("string"))
-    band_rows = (
-        ordered.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-            mhs.alias("mhs"),
-        )
-        .withColumn(
-            "band_key",
-            h60(
-                F.concat_ws(
-                    "|",
-                    F.col("band").cast("string"),
-                    F.concat_ws(",", F.slice("mhs", F.col("band") * r + 1, r)),
-                )
-            ),
-        )
-        .select("doc_id", "band", "band_key")
-    )
+    band_rows = wide.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     cand = (
         band_rows.alias("x")
         .join(band_rows.alias("y"), ["band", "band_key"])

@@ -50,13 +50,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from websearchengine_spark.functions.codec import encode_ids, vb_encode
-from websearchengine_spark.plans.build import (
-    B,
-    K1,
-    docs_table,
-    tokenize_count_udf,
-)
+from websearchengine_spark.functions.codec import vb_encode, vb_value_lengths
+from websearchengine_spark.functions.tokenizer import tokenize_postings_frame
+from websearchengine_spark.operators.docids import ordered_partitions
+from websearchengine_spark.plans.build import B, K1
 
 BLOCK_SCHEMA = T.StructType(
     [
@@ -105,37 +102,57 @@ class BlockIndexPaths:
         return os.path.join(self.root, "checkpoints")
 
 
+def _vb_blocked(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list[bytes]:
+    """vb-encode the whole array ONCE, then split the byte stream at block
+    boundaries (vb coding is per-value independent, so the split blobs are
+    byte-identical to encoding each block separately)."""
+    stream = vb_encode(values)
+    cum = np.concatenate(([0], np.cumsum(vb_value_lengths(values))))
+    return [stream[cum[s] : cum[e]] for s, e in zip(starts, ends)]
+
+
 def _make_encoder(avg_dl: float, block_size: int, n_buckets: int):
     k1, b = K1, B
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Fully vectorized per-(term,salt) block builder: one sort, one
+        vb_encode per column (split at block boundaries), reduceat for the
+        block max/min scores — no per-block Python loop (an earlier version
+        built a dict per block; at 10^12 postings that loop IS the build)."""
         pdf = pdf.sort_values("doc_id")
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
         term = pdf["term"].iat[0]
         bucket = term_bucket(term, n_buckets)
+        n = len(ids)
+        starts = np.arange(0, n, block_size, dtype=np.int64)
+        ends = np.minimum(starts + block_size, n)
+        # per-block delta encoding in one array: gaps everywhere, absolute
+        # value at each block start (same layout the per-block encoder made)
+        gaps = np.empty(n, dtype=np.uint64)
+        u = ids.astype(np.uint64)
+        gaps[0] = u[0]
+        np.subtract(u[1:], u[:-1], out=gaps[1:])
+        gaps[starts] = u[starts]
         # exact BM25 tf-component per posting (float64, same expression
         # tree as the oracle) — block max/min give tight WAND bounds
         tfc = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
-        rows = []
-        for s in range(0, len(ids), block_size):
-            e = min(s + block_size, len(ids))
-            rows.append(
-                {
-                    "term": term,
-                    "doc_lo": int(ids[s]),
-                    "doc_hi": int(ids[e - 1]),
-                    "n": e - s,
-                    "ids_vb": encode_ids(ids[s:e].astype(np.uint64)),
-                    "tfs_vb": vb_encode(tfs[s:e].astype(np.uint64)),
-                    "dls_vb": vb_encode(dls[s:e].astype(np.uint64)),
-                    "max_tfc": float(tfc[s:e].max()),
-                    "min_tfc": float(tfc[s:e].min()),
-                    "bucket": bucket,
-                }
-            )
-        return pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+        return pd.DataFrame(
+            {
+                "term": term,
+                "doc_lo": ids[starts],
+                "doc_hi": ids[ends - 1],
+                "n": (ends - starts).astype(np.int32),
+                "ids_vb": _vb_blocked(gaps, starts, ends),
+                "tfs_vb": _vb_blocked(tfs.astype(np.uint64), starts, ends),
+                "dls_vb": _vb_blocked(dls.astype(np.uint64), starts, ends),
+                "max_tfc": np.maximum.reduceat(tfc, starts),
+                "min_tfc": np.minimum.reduceat(tfc, starts),
+                "bucket": np.int32(bucket),
+            },
+            columns=[f.name for f in BLOCK_SCHEMA.fields],
+        )
 
     return encode_group
 
@@ -169,48 +186,72 @@ def build_block_index(
     paths = BlockIndexPaths(out_dir)
     t0 = time.time()
 
-    docs = docs_table(transcripts, num_partitions=num_partitions)
-    # Tokenize-count exactly ONCE for the whole build: postings, doc_stats,
-    # lexicon, and corpus stats all derive from this cached frame. (An earlier
-    # version tokenized three times — at 100 TB the tokenizer UDF is the
-    # single most expensive stage, so every re-run of it doubles the build.)
-    tokenized = (
-        docs.withColumn("tcs", tokenize_count_udf(F.col("text")))
-        .withColumn(
-            "dl",
-            F.aggregate("tcs", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]),
-        )
-        .drop("text")
-        .persist()
+    # Assign docIDs and tokenize in ONE fused mapInPandas over the
+    # range-partitioned input (one Python/Arrow crossing of the text column
+    # instead of two), emitting FLAT rows (no nested list<struct>, no
+    # explode): posting rows (term, tf, dl) plus one term-NULL doc-stat row
+    # per doc carrying the metadata columns. postings, doc_stats, lexicon,
+    # and corpus stats are all cheap filters of this one cached frame — at
+    # 100 TB the tokenizer is the single most expensive stage, so it runs
+    # once, stays off per-row Python, and skips the explode shuffle blowup.
+    from pyspark import TaskContext
+
+    part, offsets = ordered_partitions(
+        transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+        order_cols=("conv_id", "turn_idx"),
+        num_partitions=num_partitions,
+    )
+    meta_cols = ["conv_id", "turn_idx", "role", "tool", "ts"]
+    flat_schema = (
+        "doc_id long, term string, tf long, dl long, "
+        "conv_id string, turn_idx int, role string, tool string, ts timestamp"
     )
 
-    doc_stats = tokenized.select(
+    def _ids_and_tokenize(batches):
+        import numpy as _np
+
+        pid = TaskContext.get().partitionId()
+        seen = offsets.get(pid, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["doc_id"] = _np.arange(seen, seen + len(pdf), dtype=_np.int64)
+            seen += len(pdf)
+            yield tokenize_postings_frame(pdf, meta_cols)
+
+    flat = part.mapInPandas(_ids_and_tokenize, flat_schema).persist()
+
+    doc_stats = flat.filter(F.col("term").isNull()).select(
         "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
         F.col("dl").alias("term_cnt"),
     )
-    postings = (
-        tokenized.select("doc_id", "dl", F.explode("tcs").alias("tc"))
-        .select(F.col("tc.term").alias("term"), "doc_id", F.col("tc.tf").alias("tf"), "dl")
-        .persist()
+    postings = flat.filter(F.col("term").isNotNull()).select(
+        "term", "doc_id", "tf", "dl"
     )
 
-    stats = tokenized.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avg_dl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    # ONE aggregation job yields corpus stats, the full lexicon, and the
+    # hot-term set: the term-NULL doc-stat group IS the corpus-stats row
+    # (df of the NULL group = n_docs, avg dl over it = avg_dl), non-null
+    # groups are lexicon rows, hot terms are the df > threshold subset.
+    term_agg = flat.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.avg("dl").alias("avg_dl_in_group"),
+    ).persist()  # vocab-sized; reused by the lexicon write (saves a full
+    #              re-aggregation pass over the postings at write time)
+    head = term_agg.filter(
+        F.col("term").isNull() | (F.col("df") > hot_df_threshold)
+    ).collect()
+    n_docs, avg_dl, hot = 0, 0.0, {}
+    for r in head:
+        if r["term"] is None:
+            n_docs, avg_dl = int(r["df"]), float(r["avg_dl_in_group"] or 0.0)
+        else:
+            hot[r["term"]] = int(math.ceil(r["df"] / target_group_size))
+    # `flat` is materialized now; the range-partition cache is done
+    part.unpersist()
 
     # lexicon: df (postings per term == distinct docs per term) + cf
-    lexicon = postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-    )
-
-    # ---- skew plan: salt counts for hot terms (Zipf ⇒ few ⇒ collectable)
-    hot = {
-        r["term"]: int(math.ceil(r["df"] / target_group_size))
-        for r in lexicon.filter(F.col("df") > hot_df_threshold)
-        .select("term", "df")
-        .collect()
-    }
+    lexicon = term_agg.filter(F.col("term").isNotNull()).select("term", "df", "cf")
     if hot:
         salt_map = F.create_map(
             *[x for t, ns in hot.items() for x in (F.lit(t), F.lit(ns))]
@@ -330,8 +371,8 @@ def build_block_index(
         ).write.mode("overwrite").parquet(paths.meta)
 
     n_postings = sum(int(r["n_postings"]) for r in per_bucket.values())
-    postings.unpersist()
-    tokenized.unpersist()
+    flat.unpersist()
+    term_agg.unpersist()
     return BuildMetrics(
         build_id=build_id,
         n_docs=n_docs,

@@ -81,30 +81,35 @@ def build_logical_index(
 ) -> LogicalIndex:
     docs = docs_table(transcripts, num_partitions=num_partitions)
 
-    # tokenize-count ONCE; per-(doc,term) rows instead of per-token rows
-    # (pre-aggregated in the UDF — cuts shuffle volume by the avg tf).
-    # doc length = Σ tf computed JVM-side in the same projection, so
-    # doc_stats is a narrow dependency of the tokenize stage — no join.
-    tokenized = docs.withColumn(
-        "tcs", tokenize_count_udf(F.col("text"))
-    ).withColumn(
-        "term_cnt",
-        F.aggregate("tcs", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]),
+    # tokenize ONCE via the vectorized flat mapInPandas (see
+    # functions.tokenizer.tokenize_postings_frame): posting rows + term-NULL
+    # doc-stat rows in one pass — no nested Arrow structs, no explode, no
+    # per-row Python, and doc_stats needs no join.
+    from websearchengine_spark.functions.tokenizer import tokenize_postings_frame
+
+    meta_cols = ["conv_id", "turn_idx", "role", "tool", "ts"]
+    flat_schema = (
+        "doc_id long, term string, tf long, dl long, "
+        "conv_id string, turn_idx int, role string, tool string, ts timestamp"
     )
-    doc_stats = tokenized.select(
-        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "term_cnt"
+
+    def _tokenize_batches(batches):
+        for pdf in batches:
+            yield tokenize_postings_frame(pdf, meta_cols)
+
+    flat = docs.mapInPandas(_tokenize_batches, flat_schema)
+    if persist:
+        flat = flat.persist()
+
+    doc_stats = flat.filter(F.col("term").isNull()).select(
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+        F.col("dl").alias("term_cnt"),
     )
-    postings = tokenized.select(
-        "doc_id", F.explode("tcs").alias("tc")
-    ).select(F.col("tc.term").alias("term"), "doc_id", F.col("tc.tf").alias("tf"))
+    postings = flat.filter(F.col("term").isNotNull()).select("term", "doc_id", "tf")
 
     lexicon = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     )
-
-    if persist:
-        postings.persist()
-        doc_stats.persist()
 
     row = doc_stats.agg(
         F.count(F.lit(1)).alias("n"), F.avg("term_cnt").alias("avgdl")

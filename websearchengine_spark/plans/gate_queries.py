@@ -370,6 +370,179 @@ SELECT ROUND(AVG(rr), 6) AS mrr, COUNT(*)::BIGINT AS n_queries FROM perq
 """
 
 
+def _spark_conj_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _spark_bm25_scores(spark, sf_dir, conjunctive=True)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id")
+    )
+
+
+SQL_CONJ_TOP10_CTES = f"""
+{SQL_POSTINGS}{SQL_DOCLEN},
+stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl)::DOUBLE AS avgdl FROM dl),
+qterms(query_id, term) AS (VALUES {{qterms}}),
+lex AS (SELECT term, COUNT(*)::DOUBLE AS df FROM postings GROUP BY term),
+qlex AS (SELECT q.query_id, q.term, l.df FROM qterms q JOIN lex l USING (term)),
+nfound AS (SELECT query_id, COUNT(*) AS nf FROM qlex GROUP BY query_id),
+hits AS (
+  SELECT ql.query_id, p.doc_id,
+         ln((s.n - ql.df + 0.5) / (ql.df + 0.5))
+           * (p.tf::DOUBLE * 1.9)
+           / (p.tf::DOUBLE + 0.9 * (0.6 + 0.4 * d.dl::DOUBLE / s.avgdl)) AS contrib
+  FROM qlex ql JOIN postings p USING (term) JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT query_id, doc_id, SUM(contrib) AS score, COUNT(*) AS nhit
+  FROM hits GROUP BY query_id, doc_id
+),
+conj AS (SELECT pd.* FROM perdoc pd JOIN nfound USING (query_id) WHERE nhit = nf),
+ranked AS (
+  SELECT query_id::BIGINT AS query_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id ASC))::BIGINT AS rank,
+         doc_id
+  FROM conj
+),
+top10 AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank <= 10)
+"""
+
+
+def q_result_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (main.cpp:610-612): the `freqs` [(term, tf)...] pairs attached to
+    each conjunctive top-10 result (readme.md:205-223) — one row per
+    (result, query term)."""
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, q in GATE_QUERIES for t in clean_query(q)],
+        "query_id long, term string",
+    )
+    postings = _spark_postings(_docs(spark, sf_dir))
+    top = _spark_conj_top10(spark, sf_dir)
+    return (
+        top.join(F.broadcast(qt), "query_id")
+        .join(postings, ["term", "doc_id"])
+        .select("query_id", "rank", "doc_id", "term", "tf")
+    )
+
+
+SQL_RESULT_FREQS = f"""
+WITH {SQL_CONJ_TOP10_CTES}
+SELECT t.query_id, t.rank, t.doc_id, q.term, p.tf
+FROM top10 t
+JOIN qterms q ON q.query_id = t.query_id
+JOIN postings p ON p.term = q.term AND p.doc_id = t.doc_id
+"""
+
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 (main.cpp:498-547): snippet window around the first query-term
+    occurrence for each conjunctive top-10 result. match_pos = min 1-based
+    position of a word-boundary term occurrence (0 = none); snippet =
+    120-char window centered on it (operators/snippets.py semantics)."""
+    from websearchengine_spark.operators.snippets import snippet_col
+
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, q in GATE_QUERIES for t in clean_query(q)],
+        "query_id long, term string",
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    top = _spark_conj_top10(spark, sf_dir)
+    rows = (
+        top.join(F.broadcast(qt), "query_id")
+        .join(docs, "doc_id")
+        .withColumn("loc", F.expr("locate(concat(' ', term, ' '), concat(' ', lower(text), ' '))"))
+    )
+    agg = rows.groupBy("query_id", "rank", "doc_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("loc") > 0, F.col("loc"))), F.lit(0)
+        ).cast("long").alias("match_pos"),
+        F.first("text").alias("text"),
+    )
+    return agg.select(
+        "query_id", "rank", "doc_id", "match_pos",
+        snippet_col(F.col("text"), F.col("match_pos"), 120).alias("snippet"),
+    )
+
+
+SQL_SNIPPETS = f"""
+WITH {SQL_CONJ_TOP10_CTES},
+rows_ AS (
+  SELECT t.query_id, t.rank, t.doc_id, d.text,
+         position(' ' || q.term || ' ' IN ' ' || lower(d.text) || ' ') AS loc
+  FROM top10 t
+  JOIN qterms q ON q.query_id = t.query_id
+  JOIN documents d ON d.doc_id = t.doc_id
+),
+agg AS (
+  SELECT query_id, rank, doc_id,
+         COALESCE(MIN(CASE WHEN loc > 0 THEN loc END), 0)::BIGINT AS match_pos,
+         any_value(text) AS text
+  FROM rows_ GROUP BY query_id, rank, doc_id
+)
+SELECT query_id, rank, doc_id, match_pos,
+       substr(text, greatest(1, match_pos - 60), 120) AS snippet
+FROM agg
+"""
+
+
+_SERVING_INDEX_CACHE: dict[str, str] = {}
+
+
+def _serving_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) a real block index over the
+    documents-as-transcripts corpus and return its root path."""
+    if sf_dir not in _SERVING_INDEX_CACHE:
+        import tempfile
+
+        from websearchengine_spark.plans.block_index import build_block_index
+
+        docs = _docs(spark, sf_dir)
+        # one conversation, turn_idx = doc_id → the engine's dense docID
+        # assignment (rank in (conv_id, turn_idx) order) is the identity,
+        # so index docIDs line up with documents.doc_id INCLUDING the
+        # score-tie doc_id-ascending tie-break the oracle ranks by
+        transcripts = docs.select(
+            F.lit("c").alias("conv_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.current_timestamp().alias("ts"),
+        )
+        out = tempfile.mkdtemp(prefix="wse_gate_idx_")
+        build_block_index(
+            transcripts, out, resume=False, n_buckets=8, num_partitions=8
+        )
+        _SERVING_INDEX_CACHE[sf_dir] = out
+    return _SERVING_INDEX_CACHE[sf_dir]
+
+
+def _q_serving(conjunctive: bool):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Serving engine end-to-end (M3): physical block index (salted
+        build, delta+varbyte blocks) + BlockIndexReader (vectorized TAAT /
+        block-max WAND hybrid, bounded heap) — must equal the same DuckDB
+        oracle as the exhaustive DataFrame path, because docID = rank of
+        (conv_id=source, turn_idx=doc_id) = documents.doc_id (dense,
+        0-based, source-then-doc_id is doc_id order in the gate tables)."""
+        from websearchengine_spark.operators.wand import BlockIndexReader
+
+        root = _serving_index(spark, sf_dir)
+        reader = BlockIndexReader(root)
+        rows = []
+        for qid, q in GATE_QUERIES:
+            for rank, doc_id, score in reader.search(q, conjunctive=conjunctive, k=10):
+                rows.append((qid, rank, doc_id, round(score, 6)))
+        return spark.createDataFrame(
+            rows, "query_id long, rank long, doc_id long, score double"
+        )
+
+    return run
+
+
 def core_entries() -> dict[str, tuple]:
     """name → (spark_fn, sql | None)."""
     return {
@@ -385,4 +558,14 @@ def core_entries() -> dict[str, tuple]:
         ),
         "a5_mrr_at_10": (q_mrr, SQL_MRR.replace("{qterms}", _qterms_values())),
         "p15_docid_assignment": (q_docid_assignment, SQL_DOCID_ASSIGNMENT),
+        "j3_result_freqs": (
+            q_result_freqs,
+            SQL_RESULT_FREQS.replace("{qterms}", _qterms_values()),
+        ),
+        "p13_snippets": (
+            q_snippets,
+            SQL_SNIPPETS.replace("{qterms}", _qterms_values()),
+        ),
+        "m3_serving_conjunctive_topk": (_q_serving(True), _sql_bm25_ranked(True)),
+        "m3_serving_disjunctive_topk": (_q_serving(False), _sql_bm25_ranked(False)),
     }

@@ -38,7 +38,21 @@ def get_spark(
         # the partitions present in the written DataFrame
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # 12g, not bigger: on this single-JVM sandbox a 48g heap showed
+        # progressive cross-job degradation (2-4x inflated task run times by
+        # the third build in a session); a right-sized heap is stable
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        # shuffle/spill scratch: tmpfs when available. The sandbox is one
+        # machine behind a single ~300 MB/s virtual disk; a real cluster
+        # scales local-disk bandwidth with executor count, so disk-bound
+        # shuffle on ONE disk would misrepresent CPU scaling entirely.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
