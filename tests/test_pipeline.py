@@ -114,6 +114,26 @@ def test_fingerprint_short_doc_sentinel(docs):
     assert out[0]["fp_min"] == out[1]["fp_min"] and out[0]["fp_sum"] == out[1]["fp_sum"]
 
 
+def test_dup_groups_and_survivors(spark, docs):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10)], "doc_a long, doc_b long"
+    )
+    groups = {r["doc_id"]: r["group_id"] for r in dedup.dup_groups(pairs).collect()}
+    assert groups == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+    all_docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    surv = sorted(r["doc_id"] for r in dedup.dedup_survivors(all_docs, pairs).collect())
+    assert surv == [0, 1, 4, 5, 7, 8, 11]
+
+
+def test_dup_groups_chain_convergence(spark):
+    # a long chain exercises multi-iteration label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+    )
+    groups = {r["doc_id"]: r["group_id"] for r in dedup.dup_groups(pairs).collect()}
+    assert set(groups.values()) == {0} and len(groups) == 21
+
+
 # ---------------------------------------------------------------------------
 # similarity
 

@@ -1,0 +1,100 @@
+"""Structured Streaming ingestion tests: exactly-once staging with
+arrival-order docIDs, watermarked windows, and compaction to a queryable
+block index."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from websearchengine_spark.streaming import ingest
+
+
+def _write_wave(spark, src_dir, conv_prefix, n_convs, ts_base):
+    rows = [
+        (f"{conv_prefix}{c}", t, "user", f"wave {conv_prefix} conv {c} turn {t} text body",
+         None, ts_base + dt.timedelta(seconds=60 * t))
+        for c in range(n_convs)
+        for t in range(3)
+    ]
+    df = spark.createDataFrame(rows, ingest.TRANSCRIPT_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+
+
+def test_staging_exactly_once_and_arrival_ids(spark, tmp_path):
+    src = str(tmp_path / "src")
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    _write_wave(spark, src, "a", 4, base)
+    q = ingest.stage_stream(ingest.stream_transcripts(spark, src), staging, ckpt)
+    q.awaitTermination(120)
+    staged1 = ingest.read_staged(spark, staging)
+    assert staged1.count() == 12
+    ids1 = sorted(r["doc_id"] for r in staged1.collect())
+    assert ids1 == list(range(12))  # dense arrival-order ids
+
+    # wave 2 arrives; only NEW files are processed (checkpoint), ids continue
+    _write_wave(spark, src, "b", 2, base + dt.timedelta(minutes=10))
+    q = ingest.stage_stream(ingest.stream_transcripts(spark, src), staging, ckpt)
+    q.awaitTermination(120)
+    staged2 = ingest.read_staged(spark, staging)
+    assert staged2.count() == 18
+    ids2 = sorted(r["doc_id"] for r in staged2.collect())
+    assert ids2 == list(range(18))
+    # wave-1 rows keep their ids (append-only staging)
+    a_ids = {r["doc_id"] for r in staged2.filter(F.col("conv_id").startswith("a")).collect()}
+    assert a_ids == set(range(12))
+
+    # re-running with nothing new is a no-op (exactly-once)
+    q = ingest.stage_stream(ingest.stream_transcripts(spark, src), staging, ckpt)
+    q.awaitTermination(120)
+    assert ingest.read_staged(spark, staging).count() == 18
+
+    # batch lineage metadata
+    meta = spark.read.parquet(os.path.join(staging, "_batch_meta"))
+    rows = {r["batch_id"]: (r["n_turns"], r["id_lo"], r["id_hi"]) for r in meta.collect()}
+    assert rows[0] == (12, 0, 11) and rows[1] == (6, 12, 17)
+
+    # compaction → queryable index
+    from websearchengine_spark.operators.wand import BlockIndexReader
+
+    idx = str(tmp_path / "idx")
+    m = ingest.compact(spark, staging, idx, resume=False, n_buckets=4, num_partitions=4)
+    assert m.n_docs == 18
+    hits = BlockIndexReader(idx).search("wave text", conjunctive=True, k=30)
+    assert len(hits) == 18  # every turn contains both terms
+
+
+def test_turn_rate_watermarked_windows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = dt.datetime(2026, 1, 1, 9, 0, 0)
+    # two waves = two files = two micro-batches (maxFilesPerTrigger=1); the
+    # watermark advances between them, closing wave-1's windows so append
+    # mode emits them; wave-2's windows stay open in state
+    _write_wave(spark, src, "x", 2, base)
+    _write_wave(spark, src, "y", 1, base + dt.timedelta(hours=1))
+
+    out = (
+        ingest.turn_rate(
+            ingest.stream_transcripts(spark, src, max_files_per_trigger=1),
+            "1 minute", "30 seconds",
+        )
+        .writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("append")          # append emits only watermark-closed windows
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    out.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM rates ORDER BY window_start").collect()
+    got = {(r["window_start"].hour, r["window_start"].minute): r["n_turns"] for r in rows}
+    # wave 1: 2 convs × turns at +0/+60/+120s → 2 turns in each of 9:00/9:01/9:02
+    assert got.get((9, 0)) == 2 and got.get((9, 1)) == 2 and got.get((9, 2)) == 2
+    # the final 10:02 window ends after the last watermark (10:01:30) and
+    # must remain open in state — append mode never emits it
+    assert (10, 2) not in got

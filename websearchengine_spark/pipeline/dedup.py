@@ -50,11 +50,19 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 
+def _shingle_sets(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sh: array<string>) distinct k-shingles — tokens projected
+    first so the shingle expression references an attribute (see
+    hashing.shingles note on lambda re-evaluation)."""
+    return docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", shingles(F.col("toks"), k=k, distinct=True).alias("sh")
+    )
+
+
 def _shingle_rows(docs: DataFrame, k: int) -> DataFrame:
     """(doc_id, n_sh, shingle) exploded distinct k-shingles."""
-    sh = shingles(tokens(F.col("text")), k=k, distinct=True)
     return (
-        docs.select("doc_id", sh.alias("sh"))
+        _shingle_sets(docs, k)
         .withColumn("n_sh", F.size("sh"))
         .select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
     )
@@ -103,21 +111,38 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
-def minhash_wide(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
-    """Wide MinHash signatures (doc_id, mh0..mh{n-1}): for each seeded hash
-    h_i(s) = h60(i || ':' || s), the min over the doc's distinct k-shingles.
-    Docs with no shingles emit nothing.
+MINHASH_P = (1 << 31) - 1  # Mersenne prime: a*h+b stays in int64 both engines
 
-    Plan shape: ONE groupBy(doc_id) with num_hashes min-aggregates over the
-    exploded shingle rows — the seeded hashes are computed as columns of the
-    same row (JVM-side md5), so there is no num_hashes× row blow-up through
-    the shuffle and exactly one aggregation exchange."""
-    rows = _shingle_rows(docs, k)
+
+def minhash_seed_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per seed for the universal hash family
+    h_i(x) = (a_i·x + b_i) mod P over x = h60(shingle) mod P. Derived from
+    md5 so Spark and the DuckDB oracle embed the SAME constants."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash-seed:{i}".encode()).hexdigest()
+        a = int(d[:8], 16) % (MINHASH_P - 1) + 1  # a ∈ [1, P-1]
+        b = int(d[8:16], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_wide(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
+    """Wide MinHash signatures (doc_id, mh0..mh{n-1}): ONE content hash per
+    shingle (md5-derived h60 mod P) fanned out through ``num_hashes``
+    universal-hash functions (a_i·h + b_i mod P) as columns of the same row,
+    then one groupBy(doc_id) with num_hashes min-aggregates. No per-seed
+    md5 (16× fewer cryptographic hashes than the naive seeded form), no
+    seed× row blow-up through the shuffle, exactly one exchange. Docs with
+    no shingles emit nothing."""
+    rows = _shingle_rows(docs, k).withColumn(
+        "h", h60(F.col("shingle")) % MINHASH_P
+    )
     aggs = [
-        F.min(
-            h60(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_seed_params(num_hashes))
     ]
     return rows.groupBy("doc_id").agg(*aggs)
 
@@ -191,9 +216,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify: exact Jaccard on the candidate pairs only
-    sh = docs.select(
-        "doc_id", shingles(tokens(F.col("text")), k=k, distinct=True).alias("sh")
-    )
+    sh = _shingle_sets(docs, k)
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
@@ -298,6 +321,76 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-group resolution (connected components over dup pairs)
+
+def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS: connected components
+    by iterative min-label propagation; group_id = min doc_id in the
+    component. (doc_id, group_id) for every doc appearing in a pair.
+
+    Convergence is O(component diameter) joins — dup clusters are shallow
+    (stars/cliques), so a handful of iterations in practice; the alternating
+    large-star/small-star trick (Kiveris et al.) drops in at the same seam
+    for adversarial chain-shaped graphs at 10^12 scale. Iterative and
+    driver-coordinated, but each iteration is one distributed join+agg —
+    no collect of the graph."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()  # truncate lineage: iterative plans otherwise
+        #                     grow superlinearly and blow up analysis
+    )
+    try:
+        for _ in range(max_iter):
+            # edge propagation (1 hop) + pointer jumping (label-of-label,
+            # doubles the effective hop distance → O(log diameter) rounds)
+            prop = edges.join(
+                labels, edges.src == labels.node, "inner"
+            ).select(F.col("dst").alias("node"), "label")
+            jump = (
+                labels.alias("x")
+                .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
+                .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
+            )
+            new_labels = (
+                labels.select("node", "label").union(prop).union(jump)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+    finally:
+        edges.unpersist()
+
+
+def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The kept set after near-dup removal: every doc not in a dup group,
+    plus each group's min-doc_id representative. (doc_id, group_id) —
+    group_id = doc_id for singletons."""
+    groups = dup_groups(pairs)
+    with_groups = docs.select("doc_id").join(groups, "doc_id", "left").select(
+        "doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id")
+    )
+    return with_groups.filter(F.col("doc_id") == F.col("group_id"))
 
 
 # ---------------------------------------------------------------------------

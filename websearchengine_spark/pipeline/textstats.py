@@ -101,11 +101,13 @@ def fingerprint(docs: DataFrame, k: int = 3) -> DataFrame:
     document signature): min-hash + order-independent 40-bit-masked sum —
     two independent 64-bit-safe digests. Docs with < k tokens get (-1, 0).
     (doc_id, n_shingles, fp_min, fp_sum)."""
-    sh = shingles(tokens(F.col("text")), k=k, distinct=True)
-    hashes = F.transform(sh, lambda s: h60(s))
-    return docs.select(
+    projected = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select("doc_id", shingles(F.col("toks"), k=k, distinct=True).alias("sh"))
+    hashes = F.transform(F.col("sh"), lambda s: h60(s))
+    return projected.select(
         "doc_id",
-        F.size(sh).cast("long").alias("n_shingles"),
+        F.size("sh").cast("long").alias("n_shingles"),
         F.coalesce(F.array_min(hashes), F.lit(-1)).cast("long").alias("fp_min"),
         F.aggregate(
             hashes,

@@ -160,15 +160,25 @@ def q_minhash_signatures(spark, sf_dir):
     return dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=16, k=3)
 
 
+_MH_P = dedup.MINHASH_P
+_MH_SEEDS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_seed_params(16))
+)
+# shared CTE chain: shingle rows → one h60 per shingle → universal-hash
+# min-aggregate per (doc, seed) — same constants as the Spark plan
+SQL_SIGS_CTES = f"""
+e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+hashed AS (SELECT doc_id, {sql_h60('shingle')} % {_MH_P} AS h FROM e),
+sigs AS (
+  SELECT doc_id, s.seed, MIN((s.a * h + s.b) % {_MH_P}) AS minhash
+  FROM hashed CROSS JOIN (VALUES {_MH_SEEDS}) AS s(seed, a, b)
+  GROUP BY doc_id, s.seed
+)"""
+
 SQL_MINHASH_SIGS = f"""
 WITH {SQL_TOKS}, {SQL_SH},
-e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-seeded AS (
-  SELECT doc_id, g.seed, {sql_h60("seed::VARCHAR || ':' || shingle")} AS h
-  FROM e CROSS JOIN generate_series(0, 15) AS g(seed)
-)
-SELECT doc_id, seed::BIGINT AS seed, MIN(h)::BIGINT AS minhash
-FROM seeded GROUP BY doc_id, seed
+{SQL_SIGS_CTES}
+SELECT doc_id, seed::BIGINT AS seed, minhash::BIGINT AS minhash FROM sigs
 """
 
 
@@ -180,12 +190,7 @@ def q_minhash_lsh(spark, sf_dir):
 
 SQL_MINHASH_LSH = f"""
 WITH {SQL_TOKS}, {SQL_SH},
-e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-seeded AS (
-  SELECT doc_id, g.seed, {sql_h60("seed::VARCHAR || ':' || shingle")} AS h
-  FROM e CROSS JOIN generate_series(0, 15) AS g(seed)
-),
-sigs AS (SELECT doc_id, seed, MIN(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+{SQL_SIGS_CTES},
 bandsig AS (
   SELECT doc_id, seed // 4 AS band,
          string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS sig
@@ -259,6 +264,50 @@ SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM f a JOIN f b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_dup_groups(spark, sf_dir):
+    """Connected-components dup groups over the MinHash-LSH pair set
+    (iterative min-label propagation in Spark vs WITH RECURSIVE in the
+    oracle — same fixpoint)."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=16, bands=4, k=3, threshold=0.5
+    )
+    return dedup.dup_groups(pairs)
+
+
+SQL_DUP_GROUPS = f"""
+WITH RECURSIVE {SQL_TOKS}, {SQL_SH},
+{SQL_SIGS_CTES},
+bandsig AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS sig
+  FROM sigs GROUP BY doc_id, seed // 4
+),
+keys AS (SELECT doc_id, band, {sql_h60("band::VARCHAR || '|' || sig")} AS band_key FROM bandsig),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM keys x JOIN keys y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(a.s, b.s))::DOUBLE AS i,
+           len(a.s)::DOUBLE AS na, len(b.s)::DOUBLE AS nb
+    FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
+  ) WHERE ROUND(i / (na + nb - i), 6) >= 0.5
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+cc(node, label) AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.b AS node, least(c.label, e.b) AS label
+  FROM cc c JOIN edges e ON c.node = e.a
+)
+SELECT node::BIGINT AS doc_id, MIN(label)::BIGINT AS group_id
+FROM cc GROUP BY node
 """
 
 
@@ -419,6 +468,7 @@ def pipeline_entries() -> dict[str, tuple]:
         "dd_minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
         "dd_simhash": (q_simhash, SQL_SIMHASH),
         "dd_simhash_dup_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+        "dd_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),
         "dd_embedding_dup_pairs": (q_embedding_dup, SQL_EMBEDDING_DUP),
         "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "sim_lsh_signatures": (q_lsh_signatures, SQL_LSH_SIGNATURES),

@@ -1,0 +1,120 @@
+"""Incremental transcript ingestion (Structured Streaming).
+
+- :func:`stream_transcripts` — file-source stream of transcript parquet.
+- :func:`stage_stream` — exactly-once staging: each micro-batch lands in its
+  own ``batch=<id>`` directory with overwrite (idempotent on replay), and
+  turns get docIDs dense in ARRIVAL order — the reference's parse-order
+  docID semantics (create_index.cpp:314): within a batch, (conv_id,
+  turn_idx) order; across batches, batch order. A `_batch_meta` table
+  records per-batch (batch_id, n_turns, id_lo, id_hi) lineage.
+- :func:`turn_rate` — watermarked per-role turn-count windows (late data
+  dropped past the watermark), the monitoring aggregation.
+- :func:`compact` — batch job: staged turns → block index (resumable,
+  plans.block_index).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over a directory of transcript parquet files.
+    ``max_files_per_trigger`` bounds micro-batch size (and lets the
+    watermark advance between batches of a backlog)."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stage_stream(
+    stream: DataFrame,
+    staging_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Write the stream into ``staging_dir/turns/batch=<id>/`` with
+    arrival-order docIDs. Returns the StreamingQuery (caller awaits it).
+
+    Exactly-once: the file source tracks consumed files in the checkpoint;
+    a replayed batch overwrites its own batch directory (same batch id ⇒
+    same path ⇒ idempotent)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        meta_path = os.path.join(staging_dir, "_batch_meta")
+        id_lo = 0
+        try:
+            prev = spark.read.parquet(meta_path)
+            row = prev.agg(F.max("id_hi").alias("m")).collect()[0]
+            id_lo = int(row["m"]) + 1 if row["m"] is not None else 0
+        except Exception:
+            pass  # first batch — no meta yet
+        from websearchengine_spark.operators.docids import assign_doc_ids
+
+        with_ids = assign_doc_ids(
+            batch_df, order_cols=("conv_id", "turn_idx"), id_col="batch_row"
+        ).withColumn("doc_id", F.col("batch_row") + F.lit(id_lo)).drop("batch_row")
+        n = with_ids.count()
+        (
+            with_ids.write.mode("overwrite")
+            .parquet(os.path.join(staging_dir, "turns", f"batch={batch_id}"))
+        )
+        spark.createDataFrame(
+            [(int(batch_id), int(n), int(id_lo), int(id_lo + n - 1))],
+            "batch_id long, n_turns long, id_lo long, id_hi long",
+        ).write.mode("append").parquet(meta_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_staged(spark: SparkSession, staging_dir: str) -> DataFrame:
+    """All staged turns with their arrival-stable docIDs."""
+    return spark.read.parquet(os.path.join(staging_dir, "turns"))
+
+
+def turn_rate(stream: DataFrame, window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked monitoring aggregation: turns per (event-time window,
+    role); late events beyond the watermark are dropped."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
+def compact(spark: SparkSession, staging_dir: str, index_dir: str, **kwargs):
+    """Staged turns → physical block index (batch, resumable). The staged
+    frame already has transcripts shape + doc ids; build_block_index
+    re-derives ids deterministically from (conv_id, turn_idx), so compaction
+    of a fixed staging set is idempotent."""
+    from websearchengine_spark.plans.block_index import build_block_index
+
+    staged = read_staged(spark, staging_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    return build_block_index(staged, index_dir, **kwargs)
