@@ -43,7 +43,7 @@ REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "96"))
 # separate cluster NODES do not, so low N is the faithful stand-in for
 # N vs 4N executors. Input sized so compute dominates fixed per-job latency.
 SCALING_N = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_N", "1"))
-SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REPLICATE", "192"))
+SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REPLICATE", "288"))
 # per-parallelism trials; best-of-N isolates machine capability from
 # sandbox noise (CI neighbors, GC timing) — both levels get the same N
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
@@ -165,6 +165,25 @@ def _run_at(master_cores: int, tag: str, results: dict, scaling_only: bool,
         results["_wand_p95_ms"] = lat_cold[int(len(lat_cold) * 0.95)]
         results["_wand_cached_p50_ms"] = sorted(lat_warm)[len(lat_warm) // 2]
 
+        # ---- batch-eval throughput (reference: 798 q/s, readme.md:98) ----
+        # distinct conjunctive queries over warm posting caches (the
+        # evaluation.cpp shape: many queries, shared index, thread pool →
+        # here the posting-array cache plays the entry cache's role)
+        import itertools, random
+
+        rng = random.Random(7)
+        vocab = [q.split() for q in BENCH_QUERIES if "nosuchterm" not in q]
+        words = sorted({w for ws in vocab for w in ws})
+        eval_queries = [
+            " ".join(rng.sample(words, rng.randint(1, 3))) for _ in range(2000)
+        ]
+        t0 = time.time()
+        for q in eval_queries:
+            reader.search(q, conjunctive=True, k=10)
+        dt = time.time() - t0
+        results["batch_eval_2000q"] = round(dt, 3)
+        results["_batch_eval_qps"] = round(2000 / dt, 1)
+
         # ---- exhaustive DataFrame path (the correctness-gate plan) -------
         from websearchengine_spark.plans.gate_queries import (
             q_bm25_conjunctive, q_bm25_disjunctive,
@@ -228,6 +247,7 @@ def main() -> None:
         "wand_p50_ms": round(extras.get("_wand_p50_ms", 0.0), 3),
         "wand_p95_ms": round(extras.get("_wand_p95_ms", 0.0), 3),
         "wand_cached_p50_ms": round(extras.get("_wand_cached_p50_ms", 0.0), 4),
+        "batch_eval_qps": extras.get("_batch_eval_qps", 0.0),
     }
     if scaling:
         out["scaling"] = scaling

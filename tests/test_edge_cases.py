@@ -1,0 +1,65 @@
+"""Robustness edge cases: empty/degenerate corpora through build + serve."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from websearchengine_spark.plans.block_index import build_block_index
+from websearchengine_spark.operators.wand import BlockIndexReader
+
+
+def _transcripts(spark, texts):
+    rows = [("c", i, "user", t, None) for i, t in enumerate(texts)]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+
+
+def test_build_with_empty_and_null_texts(spark, tmp_path):
+    """Token-less turns still get docIDs and doc_stats rows (term_cnt=0)
+    and never crash the encoder; avg_dl counts them (reference divides by
+    ALL docs, main.cpp:369-370)."""
+    t = _transcripts(spark, ["alpha beta", "", "   ...!!!   ", None, "alpha gamma"])
+    out = str(tmp_path / "idx")
+    m = build_block_index(t, out, resume=False, n_buckets=2, num_partitions=2)
+    assert m.n_docs == 5
+    assert m.avg_dl == pytest.approx(4 / 5)  # 2 + 0 + 0 + 0 + 2 tokens
+    r = BlockIndexReader(out)
+    hits = r.search("alpha", k=10)
+    assert [d for _, d, _ in hits] == [0, 4]
+    ds = {row["doc_id"]: row["term_cnt"]
+          for row in spark.read.parquet(out + "/doc_stats").collect()}
+    assert ds == {0: 2, 1: 0, 2: 0, 3: 0, 4: 2}
+
+
+def test_build_entirely_empty_corpus(spark, tmp_path):
+    t = _transcripts(spark, []).filter(F.lit(False))
+    out = str(tmp_path / "idx0")
+    m = build_block_index(t, out, resume=False, n_buckets=2, num_partitions=2)
+    assert m.n_docs == 0 and m.n_postings == 0
+    r = BlockIndexReader(out)
+    assert r.search("anything", k=5) == []
+
+
+def test_single_doc_corpus(spark, tmp_path):
+    t = _transcripts(spark, ["only document here"])
+    out = str(tmp_path / "idx1")
+    build_block_index(t, out, resume=False, n_buckets=2, num_partitions=2)
+    r = BlockIndexReader(out)
+    # df == N ⇒ idf = ln(0.5/1.5) < 0: still returned (no IDF floor)
+    hits = r.search("only", k=5)
+    assert len(hits) == 1 and hits[0][1] == 0 and hits[0][2] < 0
+
+
+def test_catalog_seam_paths(spark, tmp_path):
+    from websearchengine_spark.sources.catalog import (
+        is_table_identifier, read_table, write_table,
+    )
+
+    assert is_table_identifier("cat.db.transcripts")
+    assert not is_table_identifier(str(tmp_path / "x"))
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    p = str(tmp_path / "t")
+    write_table(df, p)
+    assert read_table(spark, p).count() == 3

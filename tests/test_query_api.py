@@ -1,0 +1,86 @@
+"""Unified query-API dispatch (all four reference QueryTypes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from websearchengine_spark.operators.query import search
+from websearchengine_spark.operators.query_api import QueryType, search_api
+from websearchengine_spark.plans.build import build_logical_index
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rows = [
+        ("c", i, "user", t, None)
+        for i, t in enumerate(
+            [
+                "spark shuffles data across the cluster",
+                "the quick fox jumps over spark",
+                "data pipelines need dedup and quality checks",
+                "spark data processing at scale",
+                "irrelevant text about cooking pasta",
+            ]
+        )
+    ]
+    transcripts = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+    index = build_logical_index(transcripts, num_partitions=2)
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = [(0, "spark data"), (1, "quick fox")]
+    return index, emb, queries
+
+
+def test_bm25_modes_match_direct_search(setup):
+    index, emb, queries = setup
+    api = search_api(index, queries, QueryType.CONJUNCTIVE, k=5).collect()
+    direct = search(index, queries, conjunctive=True, k=5).collect()
+    assert sorted(map(tuple, api)) == sorted(map(tuple, direct))
+    disj = search_api(index, queries, QueryType.DISJUNCTIVE, k=5).collect()
+    assert len(disj) >= len(api)
+
+
+def test_semantic_mode(setup):
+    index, emb, queries = setup
+    out = search_api(index, queries, QueryType.SEMANTIC, k=3, embeddings=emb).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in per_q.items():
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        assert all(-1.0 <= r["cosine"] <= 1.0 for r in rs)
+
+
+def test_rerank_mode_is_bm25_candidates_reordered(setup):
+    index, emb, queries = setup
+    cands = {
+        (r["query_id"], r["doc_id"])
+        for r in search(index, queries, conjunctive=True, k=100).collect()
+    }
+    rr = search_api(
+        index, queries, QueryType.RERANKING, k=10, embeddings=emb
+    ).collect()
+    assert rr, "rerank produced no rows"
+    assert all((r["query_id"], r["doc_id"]) in cands for r in rr)
+    # ranked by cosine desc within each query
+    per_q = {}
+    for r in rr:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for rs in per_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        cos = [r["cosine"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_semantic_requires_embeddings(setup):
+    index, emb, queries = setup
+    with pytest.raises(ValueError):
+        search_api(index, queries, QueryType.SEMANTIC)

@@ -1,0 +1,57 @@
+"""Unified query API — the reference's Searcher::search dispatch
+(main.cpp:465-553) over the four QueryTypes (main.cpp:234-236,
+index.html:120-128): CONJUNCTIVE, DISJUNCTIVE, SEMANTIC, RERANKING."""
+
+from __future__ import annotations
+
+from enum import IntEnum
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from websearchengine_spark.operators import semantic as sem
+from websearchengine_spark.operators.query import search as bm25_search
+from websearchengine_spark.plans.build import LogicalIndex
+
+
+class QueryType(IntEnum):
+    CONJUNCTIVE = 0
+    DISJUNCTIVE = 1
+    SEMANTIC = 2
+    RERANKING = 3
+
+
+def _query_vecs(spark, queries: list[tuple[int, str]], dim: int) -> DataFrame:
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    return qdf.select(
+        "query_id", sem.pseudo_embedding(F.col("query"), dim=dim).alias("qv")
+    )
+
+
+def search_api(
+    index: LogicalIndex,
+    queries: list[tuple[int, str]],
+    query_type: QueryType = QueryType.CONJUNCTIVE,
+    k: int = 10,
+    embeddings: DataFrame | None = None,
+    rerank_candidates: int = 100,
+) -> DataFrame:
+    """Dispatch like the reference's Searcher::search. BM25 modes run the
+    exhaustive DataFrame plan; SEMANTIC is dense cosine retrieval over the
+    doc-embedding table; RERANKING is BM25 conjunctive candidate generation
+    re-scored by embedding cosine (learning_to_rank.py:18-27). The query
+    encoder is the pseudo-embedding stub (operators/semantic.py) — swap
+    there for a real model."""
+    spark = index.postings.sparkSession
+    if query_type in (QueryType.CONJUNCTIVE, QueryType.DISJUNCTIVE):
+        return bm25_search(
+            index, queries, conjunctive=query_type == QueryType.CONJUNCTIVE, k=k
+        )
+    if embeddings is None:
+        raise ValueError("SEMANTIC/RERANKING need the doc-embedding table")
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    qv = _query_vecs(spark, queries, dim)
+    if query_type == QueryType.SEMANTIC:
+        return sem.semantic_topk(embeddings, qv, k=k)
+    cands = bm25_search(index, queries, conjunctive=True, k=rerank_candidates)
+    return sem.rerank(cands, embeddings, qv, k=k)

@@ -196,8 +196,16 @@ class BlockIndexReader:
         self.n_docs = int(meta["n_docs"])
         self.avg_dl = float(meta["avg_dl"])
         self.n_buckets = int(meta["n_buckets"])
-        self._blocks_ds = ds.dataset(self.paths.blocks, partitioning="hive")
-        self._lex_ds = ds.dataset(self.paths.lexicon, partitioning="hive")
+        try:
+            self._blocks_ds = ds.dataset(self.paths.blocks, partitioning="hive")
+            self._lex_ds = ds.dataset(self.paths.lexicon, partitioning="hive")
+            if not self._lex_ds.files or not self._blocks_ds.files:
+                raise FileNotFoundError("no data files")
+        except Exception:
+            # empty corpus: the build wrote meta but no block/lexicon data
+            # files — every search over an empty index returns []
+            self._blocks_ds = None
+            self._lex_ds = None
         self._result_cache = _LRU(result_cache)
         self._posting_cache = _LRU(posting_cache)
         # queries whose total candidate-posting count is below this run the
@@ -208,6 +216,8 @@ class BlockIndexReader:
 
     # ---- index access -----------------------------------------------------
     def lexicon_rows(self, terms: list[str]) -> dict[str, int]:
+        if self._lex_ds is None:
+            return {}
         missing = [t for t in terms if ("lex", t) not in self._posting_cache]
         if missing:
             buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
@@ -344,24 +354,28 @@ class BlockIndexReader:
             per.append((ids, idf * tf_c))
         if not per:
             return []
-        uids, inv = np.unique(
-            np.concatenate([p[0] for p in per]), return_inverse=True
-        )
-        score = np.zeros(len(uids))
-        cnt = np.zeros(len(uids), dtype=np.int64)
-        pos = 0
+        # docIDs are DENSE [0, n_docs) by construction (operators/docids.py),
+        # so accumulate into flat arrays: O(Σ postings) scatter-adds, no
+        # sort/unique of the candidate ids (which dominated at high df)
+        score = np.zeros(self.n_docs)
+        cnt = np.zeros(self.n_docs, dtype=np.int16)
         for ids, contrib in per:  # sorted-term order fixes summation order
-            idx = inv[pos : pos + len(ids)]
-            pos += len(ids)
-            score[idx] += contrib  # each doc appears once per term: no races
-            cnt[idx] += 1
-        if conjunctive:
-            m = cnt == len(per)
-            uids, score = uids[m], score[m]
-        if len(uids) == 0:
+            score[ids] += contrib  # each doc appears once per term: no races
+            cnt[ids] += 1
+        cand = np.nonzero(cnt == len(per) if conjunctive else cnt > 0)[0]
+        if len(cand) == 0:
             return []
-        sel = np.lexsort((uids, -score))[: min(k, len(uids))]
-        return [(i + 1, int(uids[s]), float(score[s])) for i, s in enumerate(sel)]
+        kk = min(k, len(cand))
+        s = score[cand]
+        if len(cand) > 4 * k + 64:
+            # shrink to the top plateau before the exact tie-aware sort:
+            # kth-largest value via partition, keep everything ≥ it (ties
+            # included, so the doc_id-ascending tie-break stays exact)
+            kth = np.partition(s, len(s) - kk)[len(s) - kk]
+            keep = s >= kth
+            cand, s = cand[keep], s[keep]
+        sel = np.lexsort((cand, -s))[:kk]
+        return [(i + 1, int(cand[j]), float(s[j])) for i, j in enumerate(sel)]
 
     @staticmethod
     def _push(heap, k, score, doc_id):

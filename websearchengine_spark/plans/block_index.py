@@ -310,7 +310,13 @@ def build_block_index(
 
     # ---- per-partition (bucket) checkpoints with lineage + metrics
     wall_s = time.time() - t0
-    built_blocks = spark.read.parquet(paths.blocks).filter(
+    # explicit schema: an empty corpus writes a data-less directory that
+    # schema inference cannot read
+    read_schema = T.StructType(
+        BLOCK_SCHEMA.fields[:-1]
+        + [T.StructField("bucket", T.IntegerType(), True)]
+    )
+    built_blocks = spark.read.schema(read_schema).parquet(paths.blocks).filter(
         F.col("bucket").isin(build_buckets) if build_buckets else F.lit(False)
     )
     per_bucket = {

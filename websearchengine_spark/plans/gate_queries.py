@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from websearchengine_spark.functions.tokenizer import clean_query
+from websearchengine_spark.pipeline.hashing import sql_h60
 from websearchengine_spark.plans.build import tokenize_count_udf
 
 # ---------------------------------------------------------------------------
@@ -488,6 +489,97 @@ FROM agg
 """
 
 
+def _qtext_values() -> str:
+    return ", ".join(f"({qid}, '{q}')" for qid, q in GATE_QUERIES)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _gate_query_vecs(spark: SparkSession, dim: int = 64) -> DataFrame:
+    from websearchengine_spark.operators.semantic import pseudo_embedding
+
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id long, query string")
+    return qdf.select(
+        "query_id", pseudo_embedding(F.col("query"), dim=dim).alias("qv")
+    )
+
+
+def q_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryType SEMANTIC (main.cpp:234-236; torch.topk dense retrieval in
+    eval_semantic_search.ipynb): cosine top-10 over the doc-embedding table
+    (vec_id = doc_id) with the deterministic pseudo-encoder for query
+    vectors (operators/semantic.py — the encoder seam)."""
+    from websearchengine_spark.operators.semantic import semantic_topk
+
+    return semantic_topk(_emb(spark, sf_dir), _gate_query_vecs(spark), k=10)
+
+
+# pseudo-encoder mirrored in SQL: qc_j = ((h60(query||'#'||j) % 2001) - 1000)/1000
+SQL_QCOMP = f"""
+qtext(query_id, query) AS (VALUES {{qtext}}),
+qcomp AS (
+  SELECT query_id, g.d,
+         (({sql_h60("query || '#' || g.d::VARCHAR")} % 2001) - 1000) / 1000.0 AS qc
+  FROM qtext CROSS JOIN generate_series(0, 63) AS g(d)
+),
+dv AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       FROM embeddings),
+comp AS (SELECT doc_id, g.d, v[g.d + 1] AS x
+         FROM dv CROSS JOIN generate_series(0, 63) AS g(d)),
+dots AS (
+  SELECT q.query_id, c.doc_id, SUM(q.qc * c.x) AS dot
+  FROM qcomp q JOIN comp c ON q.d = c.d GROUP BY 1, 2
+),
+qnorm AS (SELECT query_id, SUM(qc * qc) AS nq FROM qcomp GROUP BY query_id),
+dnorm AS (SELECT doc_id, list_dot_product(v, v) AS nd FROM dv),
+cos AS (
+  SELECT d.query_id, d.doc_id,
+         ROUND(CASE WHEN qn.nq > 0 AND dn.nd > 0
+               THEN d.dot / sqrt(qn.nq * dn.nd) ELSE 0.0 END, 6) AS cosine
+  FROM dots d JOIN qnorm qn USING (query_id) JOIN dnorm dn USING (doc_id)
+)"""
+
+SQL_SEMANTIC_TOPK = f"""
+WITH {SQL_QCOMP}
+SELECT query_id, rank, doc_id, cosine FROM (
+  SELECT query_id::BIGINT AS query_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, doc_id ASC))::BIGINT AS rank,
+         doc_id::BIGINT AS doc_id, cosine
+  FROM cos
+) WHERE rank <= 10
+"""
+
+
+def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryType RERANKING (learning_to_rank.py:18-27): BM25 conjunctive
+    candidates re-scored by embedding cosine, ranked by the reranker score
+    only (desc, docID asc ties)."""
+    from websearchengine_spark.operators.semantic import rerank
+
+    cands = _spark_conj_top10(spark, sf_dir)
+    return rerank(cands, _emb(spark, sf_dir), _gate_query_vecs(spark), k=10)
+
+
+SQL_RERANK_TOPK = f"""
+WITH {{conj_ctes}},
+{SQL_QCOMP.replace("qtext(query_id, query)", "qtext2(query_id, query)").replace("FROM qtext ", "FROM qtext2 ")},
+cand_cos AS (
+  SELECT c.query_id, c.doc_id, c.cosine FROM cos c
+  JOIN top10 t ON t.query_id = c.query_id AND t.doc_id = c.doc_id
+)
+SELECT query_id, rank, doc_id, cosine FROM (
+  SELECT query_id::BIGINT AS query_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, doc_id ASC))::BIGINT AS rank,
+         doc_id::BIGINT AS doc_id, cosine
+  FROM cand_cos
+) WHERE rank <= 10
+"""
+
+
 _SERVING_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -568,4 +660,15 @@ def core_entries() -> dict[str, tuple]:
         ),
         "m3_serving_conjunctive_topk": (_q_serving(True), _sql_bm25_ranked(True)),
         "m3_serving_disjunctive_topk": (_q_serving(False), _sql_bm25_ranked(False)),
+        "q2_semantic_topk": (
+            q_semantic_topk,
+            SQL_SEMANTIC_TOPK.replace("{qtext}", _qtext_values()),
+        ),
+        "q3_rerank_topk": (
+            q_rerank_topk,
+            SQL_RERANK_TOPK.replace(
+                "{conj_ctes}",
+                SQL_CONJ_TOP10_CTES.replace("{qterms}", _qterms_values()),
+            ).replace("{qtext}", _qtext_values()),
+        ),
     }
