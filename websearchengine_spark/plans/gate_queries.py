@@ -133,8 +133,18 @@ def _spark_bm25_scores(spark: SparkSession, sf_dir: str, conjunctive: bool) -> D
         .join(dl, "doc_id")
         .withColumn("contrib", contrib)
     )
+    # per-doc score = SEQUENTIAL fold of per-term contributions in
+    # sorted-term order (main.cpp:574) — not F.sum, whose partial-merge
+    # order is nondeterministic at the ulp level and can flip ROUND(x,6)
+    # at a boundary between runs/engines. The oracle folds the same way
+    # (list(contrib ORDER BY term) → list_aggregate 'sum').
     per_doc = hits.groupBy("query_id", "doc_id").agg(
-        F.sum("contrib").alias("score"), F.count(F.lit(1)).alias("nhit")
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score"),
+        F.count(F.lit(1)).alias("nhit"),
     )
     if conjunctive:
         per_doc = per_doc.join(F.broadcast(n_found), "query_id").filter(
@@ -155,7 +165,7 @@ lex AS (SELECT term, COUNT(*)::DOUBLE AS df FROM postings GROUP BY term),
 qlex AS (SELECT q.query_id, q.term, l.df FROM qterms q JOIN lex l USING (term)),
 nfound AS (SELECT query_id, COUNT(*) AS nf FROM qlex GROUP BY query_id),
 hits AS (
-  SELECT ql.query_id, p.doc_id,
+  SELECT ql.query_id, p.doc_id, ql.term,
          ln((s.n - ql.df + 0.5) / (ql.df + 0.5))
            * (p.tf::DOUBLE * 1.9)
            / (p.tf::DOUBLE + 0.9 * (0.6 + 0.4 * d.dl::DOUBLE / s.avgdl)) AS contrib
@@ -165,7 +175,11 @@ hits AS (
   CROSS JOIN stats s
 ),
 perdoc AS (
-  SELECT query_id, doc_id, SUM(contrib) AS score, COUNT(*) AS nhit
+  -- sequential fold in sorted-term order (matches Spark + main.cpp:574);
+  -- plain SUM() merges partials in nondeterministic order at ulp level
+  SELECT query_id, doc_id,
+         list_aggregate(list(contrib ORDER BY term), 'sum') AS score,
+         COUNT(*) AS nhit
   FROM hits GROUP BY query_id, doc_id
 )
 SELECT query_id, rank, doc_id, score FROM (
@@ -304,10 +318,20 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", (F.lit(1.0) / F.col("rank")).alias("rr"))
     )
     per_query = qrels.join(rr, "query_id", "left").select(
-        F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr")
+        "query_id", F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr")
     )
+    # mean via ordered fold by query_id (not F.avg): deterministic float
+    # summation order, mirrored in the SQL oracle
     return per_query.agg(
-        F.round(F.avg("rr"), 6).alias("mrr"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("query_id", "rr"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["rr"],
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mrr"),
         F.count(F.lit(1)).alias("n_queries"),
     )
 
@@ -340,7 +364,7 @@ lex AS (SELECT term, COUNT(*)::DOUBLE AS df FROM postings GROUP BY term),
 qlex AS (SELECT q.query_id, q.term, l.df FROM qterms q JOIN lex l USING (term)),
 nfound AS (SELECT query_id, COUNT(*) AS nf FROM qlex GROUP BY query_id),
 hits AS (
-  SELECT ql.query_id, p.doc_id,
+  SELECT ql.query_id, p.doc_id, ql.term,
          ln((s.n - ql.df + 0.5) / (ql.df + 0.5))
            * (p.tf::DOUBLE * 1.9)
            / (p.tf::DOUBLE + 0.9 * (0.6 + 0.4 * d.dl::DOUBLE / s.avgdl)) AS contrib
@@ -348,7 +372,11 @@ hits AS (
   CROSS JOIN stats s
 ),
 perdoc AS (
-  SELECT query_id, doc_id, SUM(contrib) AS score, COUNT(*) AS nhit
+  -- sequential fold in sorted-term order (matches Spark + main.cpp:574);
+  -- plain SUM() merges partials in nondeterministic order at ulp level
+  SELECT query_id, doc_id,
+         list_aggregate(list(contrib ORDER BY term), 'sum') AS score,
+         COUNT(*) AS nhit
   FROM hits GROUP BY query_id, doc_id
 ),
 conj AS (SELECT pd.* FROM perdoc pd JOIN nfound USING (query_id) WHERE nhit = nf),
@@ -365,9 +393,12 @@ rr AS (
   WHERE r.rank <= 10
 ),
 perq AS (
-  SELECT COALESCE(rr.rr, 0.0::DOUBLE) AS rr FROM qrels LEFT JOIN rr USING (query_id)
+  SELECT qrels.query_id, COALESCE(rr.rr, 0.0::DOUBLE) AS rr
+  FROM qrels LEFT JOIN rr USING (query_id)
 )
-SELECT ROUND(AVG(rr), 6) AS mrr, COUNT(*)::BIGINT AS n_queries FROM perq
+SELECT ROUND(list_aggregate(list(rr ORDER BY query_id), 'sum') / COUNT(*), 6) AS mrr,
+       COUNT(*)::BIGINT AS n_queries
+FROM perq
 """
 
 
@@ -389,7 +420,7 @@ lex AS (SELECT term, COUNT(*)::DOUBLE AS df FROM postings GROUP BY term),
 qlex AS (SELECT q.query_id, q.term, l.df FROM qterms q JOIN lex l USING (term)),
 nfound AS (SELECT query_id, COUNT(*) AS nf FROM qlex GROUP BY query_id),
 hits AS (
-  SELECT ql.query_id, p.doc_id,
+  SELECT ql.query_id, p.doc_id, ql.term,
          ln((s.n - ql.df + 0.5) / (ql.df + 0.5))
            * (p.tf::DOUBLE * 1.9)
            / (p.tf::DOUBLE + 0.9 * (0.6 + 0.4 * d.dl::DOUBLE / s.avgdl)) AS contrib
@@ -397,7 +428,11 @@ hits AS (
   CROSS JOIN stats s
 ),
 perdoc AS (
-  SELECT query_id, doc_id, SUM(contrib) AS score, COUNT(*) AS nhit
+  -- sequential fold in sorted-term order (matches Spark + main.cpp:574);
+  -- plain SUM() merges partials in nondeterministic order at ulp level
+  SELECT query_id, doc_id,
+         list_aggregate(list(contrib ORDER BY term), 'sum') AS score,
+         COUNT(*) AS nhit
   FROM hits GROUP BY query_id, doc_id
 ),
 conj AS (SELECT pd.* FROM perdoc pd JOIN nfound USING (query_id) WHERE nhit = nf),
@@ -529,10 +564,13 @@ dv AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> x::DOUBLE) AS v
 comp AS (SELECT doc_id, g.d, v[g.d + 1] AS x
          FROM dv CROSS JOIN generate_series(0, 63) AS g(d)),
 dots AS (
-  SELECT q.query_id, c.doc_id, SUM(q.qc * c.x) AS dot
+  -- ordered fold over d: matches Spark's sequential zip_with/aggregate
+  SELECT q.query_id, c.doc_id,
+         list_aggregate(list(q.qc * c.x ORDER BY q.d), 'sum') AS dot
   FROM qcomp q JOIN comp c ON q.d = c.d GROUP BY 1, 2
 ),
-qnorm AS (SELECT query_id, SUM(qc * qc) AS nq FROM qcomp GROUP BY query_id),
+qnorm AS (SELECT query_id, list_aggregate(list(qc * qc ORDER BY d), 'sum') AS nq
+          FROM qcomp GROUP BY query_id),
 dnorm AS (SELECT doc_id, list_dot_product(v, v) AS nd FROM dv),
 cos AS (
   SELECT d.query_id, d.doc_id,
