@@ -321,7 +321,25 @@ class BlockIndexReader:
         if not present:
             self._result_cache.put(cache_key, [])
             return []
-        if sum(lex[t] for t in present) <= self.taat_threshold:
+        # path routing (all paths are rank-identical; this is cost only):
+        # - conjunctive with a rare lead term → galloping intersection:
+        #   candidates are bounded by min_df, cost ≈ min_df·n_terms·step
+        #   where step is a Python-loop iteration (~5 µs); TAAT instead
+        #   decodes/scores EVERY posting of every term (~25 ns each).
+        # - otherwise TAAT while total postings are machine-reasonable;
+        # - block-max WAND above that (skips whole blocks without decode —
+        #   the only option when full decode doesn't fit the latency budget).
+        total_df = sum(lex[t] for t in present)
+        min_df = min(lex[t] for t in present)
+        gallop_cost = min_df * len(present) * 5e-6
+        taat_cost = total_df * 2.5e-8 + self.n_docs * 1e-8
+        if conjunctive and gallop_cost < taat_cost:
+            path = "gallop"
+        elif total_df <= self.taat_threshold:
+            path = "taat"
+        else:
+            path = "gallop" if conjunctive else "wand"
+        if path == "taat":
             out = self._search_taat(present, lex, k, conjunctive)
         else:
             cursors = self._cursors(present)
