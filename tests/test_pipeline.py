@@ -134,6 +134,26 @@ def test_dup_groups_chain_convergence(spark):
     assert set(groups.values()) == {0} and len(groups) == 21
 
 
+def test_curation_pipeline_composed(spark):
+    from websearchengine_spark.pipeline.curate import curate
+
+    good = "the data pipeline cleans and filters the documents of the corpus"
+    rows = [
+        (0, good),                                   # keeper
+        (1, good),                                   # exact dup of 0 → dropped
+        (2, good + " with one extra tail phrase"),   # near dup of 0 → grouped, dropped
+        (3, "der hund und die katze und das haus und der baum und die tür"),  # not en
+        (4, "a a a a a a a a a a a a a a a a"),      # low quality (uniq ratio)
+        (5, "spark shuffles partition data across the cluster and the executors run it"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curate(docs, min_quality=0.5, lang="en",
+                                          jaccard_threshold=0.3).collect()}
+    assert set(out) == {0, 5}
+    assert out[0]["group_id"] == 0 and out[0]["lang_pred"] == "en"
+    assert out[5]["quality"] >= 0.5
+
+
 # ---------------------------------------------------------------------------
 # similarity
 

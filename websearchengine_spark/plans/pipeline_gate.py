@@ -454,6 +454,93 @@ FROM fr
 
 
 # ---------------------------------------------------------------------------
+# composed curation pipeline (the capstone: dedup → quality → lang → near-dup)
+
+def q_curation(spark, sf_dir):
+    from websearchengine_spark.pipeline.curate import curate
+
+    return curate(_docs(spark, sf_dir), min_quality=0.5, lang="en",
+                  jaccard_threshold=0.5)
+
+
+def _sql_curation() -> str:
+    lang_ratio_cols = []
+    for lang, sw in textstats.LANG_STOPWORDS.items():
+        lst = "', '".join(sw)
+        lang_ratio_cols.append(
+            f"CASE WHEN len(l) > 0 THEN len(list_filter(l, t -> t IN"
+            f" ('{lst}')))::DOUBLE / len(l) ELSE 0.0 END AS r_{lang}"
+        )
+    langs = sorted(textstats.LANG_STOPWORDS)
+    best = f"greatest({', '.join('r_' + x for x in langs)})"
+    pred = "CASE WHEN best <= 0.0 THEN 'und' " + " ".join(
+        f"WHEN r_{x} = best THEN '{x}'" for x in langs
+    ) + " END"
+    return f"""
+WITH RECURSIVE {SQL_TOKS}, {SQL_SH},
+surv0 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {sql_h60('text')}),
+qf AS (
+  SELECT doc_id, len(l)::DOUBLE AS n, len(list_distinct(l))::DOUBLE AS uniq,
+         len(list_filter(l, t -> t IN ('{_STOPS_SQL}')))::DOUBLE AS stops
+  FROM toks
+),
+qual AS (
+  SELECT doc_id, ROUND(CASE WHEN n > 0 THEN
+      0.3 * least(n / 100.0, 1.0) + 0.4 * (uniq / n)
+    + 0.3 * (1.0 - abs(stops / n - 0.4)) ELSE 0.0 END, 6) AS quality
+  FROM qf
+),
+lr AS (SELECT doc_id, {', '.join(lang_ratio_cols)} FROM toks),
+lb AS (SELECT *, {best} AS best FROM lr),
+lang AS (SELECT doc_id, {pred} AS lang_pred FROM lb),
+scored AS (
+  SELECT s.doc_id, q.quality, l.lang_pred
+  FROM surv0 s JOIN qual q USING (doc_id) JOIN lang l USING (doc_id)
+  WHERE q.quality >= 0.5 AND l.lang_pred = 'en'
+),
+e AS (SELECT sh.doc_id, unnest(sh.s) AS shingle
+      FROM sh JOIN scored USING (doc_id)),
+hashed AS (SELECT doc_id, {sql_h60('shingle')} % {_MH_P} AS h FROM e),
+sigs AS (
+  SELECT doc_id, s.seed, MIN((s.a * h + s.b) % {_MH_P}) AS minhash
+  FROM hashed CROSS JOIN (VALUES {_MH_SEEDS}) AS s(seed, a, b)
+  GROUP BY doc_id, s.seed
+),
+bandsig AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS sig
+  FROM sigs GROUP BY doc_id, seed // 4
+),
+keys AS (SELECT doc_id, band, {sql_h60("band::VARCHAR || '|' || sig")} AS band_key FROM bandsig),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM keys x JOIN keys y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(a.s, b.s))::DOUBLE AS i,
+           len(a.s)::DOUBLE AS na, len(b.s)::DOUBLE AS nb
+    FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
+  ) WHERE ROUND(i / (na + nb - i), 6) >= 0.5
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+cc(node, label) AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+  UNION
+  SELECT e2.b AS node, least(c.label, e2.b) AS label
+  FROM cc c JOIN edges e2 ON c.node = e2.a
+),
+final AS (SELECT node, MIN(label) AS root FROM cc GROUP BY node)
+SELECT s.doc_id::BIGINT AS doc_id, s.quality, s.lang_pred,
+       COALESCE(f.root, s.doc_id)::BIGINT AS group_id
+FROM scored s LEFT JOIN final f ON s.doc_id = f.node
+WHERE COALESCE(f.root, s.doc_id) = s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 
 def pipeline_entries() -> dict[str, tuple]:
     """name → (spark_fn, sql | None)."""
@@ -473,6 +560,7 @@ def pipeline_entries() -> dict[str, tuple]:
         "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "sim_lsh_signatures": (q_lsh_signatures, SQL_LSH_SIGNATURES),
         "sim_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+        "pl_curation_pipeline": (q_curation, _sql_curation()),
         "mm_media_stats": (q_media_stats, SQL_MEDIA_STATS),
         "mm_frame_checksums": (q_frame_checksums, SQL_FRAME_CHECKSUMS),
     }
