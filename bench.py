@@ -189,6 +189,24 @@ def _run_at(master_cores: int, tag: str, results: dict, scaling_only: bool,
         results["batch_eval_2000q"] = round(dt, 3)
         results["_batch_eval_qps"] = round(2000 / dt, 1)
 
+        # ---- DISTRIBUTED batch eval (mapInPandas, executor-local readers;
+        # the reference's 20-thread pool scaled out — evaluation.cpp:570-660)
+        from websearchengine_spark.operators.batch_eval import batch_search
+
+        qdf = spark.createDataFrame(
+            list(enumerate(eval_queries)), "query_id long, query string"
+        )
+        # warm the executor-local readers/caches (index open per worker)
+        batch_search(qdf.limit(64), tmp, conjunctive=True, k=10,
+                     num_partitions=master_cores).count()
+        t0 = time.time()
+        n_res = batch_search(qdf, tmp, conjunctive=True, k=10,
+                             num_partitions=master_cores).count()
+        dt = time.time() - t0
+        results["batch_eval_dist_2000q"] = round(dt, 3)
+        results["_batch_eval_dist_qps"] = round(2000 / dt, 1)
+        assert n_res > 0
+
         # ---- exhaustive DataFrame path (the correctness-gate plan) -------
         from websearchengine_spark.plans.gate_queries import (
             q_bm25_conjunctive, q_bm25_disjunctive,
@@ -253,6 +271,7 @@ def main() -> None:
         "wand_p95_ms": round(extras.get("_wand_p95_ms", 0.0), 3),
         "wand_cached_p50_ms": round(extras.get("_wand_cached_p50_ms", 0.0), 4),
         "batch_eval_qps": extras.get("_batch_eval_qps", 0.0),
+        "batch_eval_dist_qps": extras.get("_batch_eval_dist_qps", 0.0),
     }
     if scaling:
         out["scaling"] = scaling

@@ -38,14 +38,20 @@ def index_dir(spark, fixture, tmp_path_factory):
     return out
 
 
-@pytest.fixture(scope="module", params=["taat", "wand"])
+@pytest.fixture(scope="module", params=["taat", "taat_sparse", "wand"])
 def reader(index_dir, request):
-    """Both serving paths — vectorized term-at-a-time (dense lists) and
-    block-max WAND/intersection (selective lists) — must be rank-identical
-    to the oracle; taat_threshold=0 forces the pointer-loop path."""
+    """All serving paths must be rank-identical to the oracle:
+    - taat: vectorized term-at-a-time, flat dense accumulator;
+    - taat_sparse: same scorer with the candidate-compressed accumulator
+      (dense_docs_max=0 → O(candidates) memory, the 10^12-doc scale path);
+    - wand: block-at-a-time block-max WAND for disjunctive (taat_threshold=0
+      routes everything there; dense_docs_max=0 disables the TAAT bail-out
+      so pruning logic is fully exercised) + galloping conjunctive."""
     if request.param == "taat":
         return BlockIndexReader(index_dir)
-    return BlockIndexReader(index_dir, taat_threshold=0)
+    if request.param == "taat_sparse":
+        return BlockIndexReader(index_dir, dense_docs_max=0)
+    return BlockIndexReader(index_dir, taat_threshold=0, dense_docs_max=0)
 
 
 @pytest.mark.parametrize("conjunctive", [True, False], ids=["conj", "disj"])
@@ -136,3 +142,75 @@ def test_resume_produces_identical_index(spark, fixture, oracle, tmp_path_factor
     assert all(r["status"] == "done" for r in rows)
     assert all(r["postings_per_sec"] >= 0 for r in rows)
     assert all(r["fingerprint"] for r in rows)
+
+
+def test_taat_memory_is_candidate_bounded(index_dir):
+    """The compressed-accumulator TAAT path must allocate O(candidate
+    postings), never O(n_docs): with n_docs inflated to 10^10 (a flat
+    float64+int16 accumulator would be ~100 GB) the search must still
+    complete within a tiny allocation budget. Scores shift (IDF depends on
+    n_docs) — this test asserts memory + result shape, not values."""
+    import tracemalloc
+
+    r = BlockIndexReader(index_dir)
+    r.n_docs = 10_000_000_000  # forces the sparse path via _flat_ok
+    tracemalloc.start()
+    out = r.search("the data", conjunctive=False, k=10)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(out) == 10
+    assert peak < 32 * 1024 * 1024  # MBs, not the ~100 GB a flat array needs
+
+
+def test_match_count_and_result_freqs(reader, oracle, fixture):
+    queries = list(zip(fixture.queries["query_id"], fixture.queries["query"]))
+    for _, q in queries[:6]:
+        for conj in (True, False):
+            exp = len(oracle.search(q, conjunctive=conj, k=10**9))
+            assert reader.match_count(q, conjunctive=conj) == exp, (q, conj)
+    # freqs: sorted-term order, tf from the index == oracle postings
+    res = reader.search("the data", conjunctive=True, k=5)
+    freqs = reader.result_freqs("the data", [d for _, d, _ in res])
+    for _, d, _ in res:
+        fl = freqs[d]
+        assert fl == sorted(fl)
+        for t, tf in fl:
+            assert oracle.postings[t][d] == tf
+
+
+def test_hot_term_salt_scales_to_wide_vocab(spark, tmp_path_factory):
+    """The salt factors ride a broadcast-joined frame, not driver literals:
+    with hot_df_threshold=0 EVERY term is hot (>= 1e5 salt entries here),
+    which a create_map literal plan cannot survive. The index must still be
+    correct: postings round-trip exactly for sampled terms."""
+    import pandas as pd
+
+    n_docs, terms_per_doc = 2000, 60
+    rows = []
+    for d in range(n_docs):
+        # n_docs*terms_per_doc distinct terms (>= 1e5) + one hot term
+        toks = ["common"] + [
+            f"t{d * terms_per_doc + j:06d}" for j in range(terms_per_doc)
+        ]
+        rows.append(("c", d, "user", " ".join(toks), None, None))
+    tdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = str(tmp_path_factory.mktemp("hotsalt"))
+    m = build_block_index(
+        tdf, out, n_buckets=4, block_size=32, build_id="hot",
+        num_partitions=4, hot_df_threshold=0, target_group_size=500,
+    )
+    assert m.n_docs == n_docs
+    lex = spark.read.parquet(f"{out}/lexicon")
+    assert lex.count() >= 100_000
+    reader = BlockIndexReader(out)
+    # the genuinely hot term (df = n_docs, salted n_docs/500 ways) must have
+    # every doc, in order, exactly once
+    arrays = reader._fetch_arrays(["common"])
+    ids = arrays["common"][0]
+    assert list(ids) == list(range(n_docs))
+    # a rare term: present in exactly its one source doc (doc 1)
+    arrays = reader._fetch_arrays(["t000100"])
+    assert list(arrays["t000100"][0]) == [1]

@@ -229,3 +229,71 @@ def test_frame_sample_plumbing(docs):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_payload(b"xx", "image")
+
+
+# ---------------------------------------------------------------------------
+# production (mapInPandas) plans vs their explode-based oracle-check plans
+
+
+@pytest.fixture(scope="module")
+def emb_skewed(spark):
+    """Synthetic embeddings with a planted near-dup cluster ~100x the mean
+    LSH bucket size: ids 0-199 are tiny jitters of one base vector (one hot
+    bucket), 200-263 are spread-out singletons."""
+    import random
+
+    rng = random.Random(13)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = []
+    for i in range(200):
+        rows.append((i, [float(b) + rng.uniform(-1e-3, 1e-3) for b in base]))
+    for i in range(200, 264):
+        rows.append((i, [float(rng.uniform(-1, 1)) for _ in range(16)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_signatures_production_matches_explode(emb_skewed):
+    prod = {r["vec_id"]: r["sig"] for r in similarity.lsh_signatures(emb_skewed).collect()}
+    expl = {
+        r["vec_id"]: r["sig"]
+        for r in similarity.lsh_signatures_explode(emb_skewed).collect()
+    }
+    assert prod == expl  # exact integer arithmetic → bit identity
+
+
+def test_simhash_production_matches_explode(docs):
+    prod = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    expl = {r["doc_id"]: r["simhash"] for r in dedup.simhash_explode(docs).collect()}
+    assert prod == expl
+
+
+def test_embedding_dup_lsh_salt_invariant(emb_skewed):
+    """The planted hot bucket (200 near-dups) is ~100x the mean bucket; the
+    salted self-join must produce EXACTLY the unsalted pair set."""
+    unsalted = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.embedding_dup_pairs_lsh(
+            emb_skewed, threshold=0.9, bucket_salt_target=None
+        ).collect()
+    }
+    salted = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.embedding_dup_pairs_lsh(
+            emb_skewed, threshold=0.9, bucket_salt_target=20
+        ).collect()
+    }
+    assert salted == unsalted
+    assert len(salted) >= 199 * 100  # the planted clique dominates
+
+
+def test_ann_lsh_topk_pre_salt_rank_identical(emb_skewed):
+    plain = sorted(
+        tuple(r) for r in similarity.ann_lsh_topk(emb_skewed, n_queries=3, k=10).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in similarity.ann_lsh_topk(
+            emb_skewed, n_queries=3, k=10, pre_topk_salt=7
+        ).collect()
+    )
+    assert plain == salted and len(plain) == 30

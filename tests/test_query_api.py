@@ -84,3 +84,39 @@ def test_semantic_requires_embeddings(setup):
     index, emb, queries = setup
     with pytest.raises(ValueError):
         search_api(index, queries, QueryType.SEMANTIC)
+
+
+def test_encode_texts_udf_matches_pseudo_embedding(spark):
+    """The encoder seam's default impl must emit EXACTLY the column-expr
+    pseudo-embedding values (what the q2/q3 SQL oracles mirror)."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import semantic as sem
+
+    df = spark.createDataFrame(
+        [(0, "spark query"), (1, ""), (2, "the data")], "id long, text string"
+    )
+    enc = sem.encode_texts_udf(dim=8)
+    got = {r["id"]: r["u"] for r in df.select("id", enc("text").alias("u")).collect()}
+    exp = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", sem.pseudo_embedding(F.col("text"), dim=8).alias("p")
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_encode_texts_udf_model_swap(spark):
+    """Any object with the sentence-transformers encode(list[str]) shape
+    drops into the seam without touching plans."""
+    from websearchengine_spark.operators import semantic as sem
+
+    class DummyModel:
+        def encode(self, texts):
+            return [[float(len(t)), 1.0] for t in texts]
+
+    df = spark.createDataFrame([(0, "ab"), (1, "abcd")], "id long, text string")
+    enc = sem.encode_texts_udf(model=DummyModel())
+    got = {r["id"]: r["u"] for r in df.select("id", enc("text").alias("u")).collect()}
+    assert got == {0: [2.0, 1.0], 1: [4.0, 1.0]}

@@ -82,10 +82,11 @@ def test_first_match_pos_and_snippet():
     text = "alpha beta gamma delta epsilon"
     assert sn.first_match_pos(text, ["gamma"]) == 12
     assert sn.first_match_pos(text, ["zeta"]) == 0
-    assert sn.first_match_pos(text, ["delta", "beta"]) == 7  # earliest wins
+    # FIRST SORTED term wins (main.cpp:520): sorted → beta before delta
+    assert sn.first_match_pos(text, ["delta", "beta"]) == 7
     snippet = sn.make_snippet(text, 12, 10)
-    assert snippet == text[6:16]  # centered: start = max(1, 12-5) = 7 (1-based)
-    assert sn.make_snippet(text, 0, 8) == text[:8]
+    assert snippet == text[6:16]  # centered: [off-5, off+5), off = 11
+    assert sn.make_snippet(text, 0, 8) == ""  # no match → no snippet
 
 
 def test_snippet_service_roundtrip(spark, tmp_path):

@@ -98,3 +98,45 @@ def test_turn_rate_watermarked_windows(spark, tmp_path):
     # the final 10:02 window ends after the last watermark (10:01:30) and
     # must remain open in state — append mode never emits it
     assert (10, 2) not in got
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """A micro-batch that crashed after its meta write but before the
+    checkpoint commit is REPLAYED by Structured Streaming with the same
+    batch_id: the writer must reuse the recorded id_lo (stable doc_ids, no
+    id-space gap) and leave exactly one meta row per batch."""
+    staging = str(tmp_path / "staging")
+    writer = ingest.make_batch_writer(staging)
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def wave(prefix, n):
+        rows = [
+            (f"{prefix}{c}", t, "user", f"{prefix} body {c} {t}", None,
+             base + dt.timedelta(seconds=t))
+            for c in range(n) for t in range(2)
+        ]
+        return spark.createDataFrame(rows, ingest.TRANSCRIPT_SCHEMA)
+
+    writer(wave("a", 3), 0)        # 6 turns → ids 0..5
+    writer(wave("b", 2), 1)        # 4 turns → ids 6..9
+    before = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in ingest.read_staged(spark, staging).collect()
+    }
+    writer(wave("b", 2), 1)        # REPLAY of batch 1 (same writer state)
+    # a restarted stream (fresh writer → meta re-read) replaying batch 1:
+    ingest.make_batch_writer(staging)(wave("b", 2), 1)
+    after = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in ingest.read_staged(spark, staging).collect()
+    }
+    assert after == before  # same rows, same ids — byte-stable staging
+    meta = spark.read.parquet(os.path.join(staging, "_batch_meta"))
+    rows = {int(r["batch_id"]): (r["n_turns"], r["id_lo"], r["id_hi"])
+            for r in meta.collect()}
+    assert rows == {0: (6, 0, 5), 1: (4, 6, 9)}  # one row per batch, no dups
+
+    # the NEXT new batch continues densely after the replay
+    ingest.make_batch_writer(staging)(wave("c", 1), 2)
+    ids = sorted(r["doc_id"] for r in ingest.read_staged(spark, staging).collect())
+    assert ids == list(range(12))

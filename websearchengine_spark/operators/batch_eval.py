@@ -1,0 +1,117 @@
+"""Distributed batch query evaluation over the block index.
+
+The reference parallelizes batch evaluation with a 20-thread pool over a
+shared in-RAM index (evaluation.cpp:570-660, 798 q/s on 367k queries). Here
+the same shape is expressed Spark-first: a ``mapInPandas`` over the queries
+DataFrame where each executor task drives an **executor-local
+BlockIndexReader** — the reader is pyarrow-only (no JVM, no Spark session),
+so it runs inside the Python worker exactly like the reference's evaluator
+threads run against the mmap'd index. Readers are cached per worker process,
+so a long evaluation pays the index-open cost once per core, and the
+reader's posting/result LRUs play the role of the reference's shared
+thread-safe caches (evaluation.cpp:84-121).
+
+Scale shape: queries shard across executors (embarrassingly parallel); each
+task reads only the blocks its queries touch (bucket + row-group pruned).
+At 1000 executors this is the reference's thread pool scaled out — no
+driver loop, no collect of anything bigger than the final metric.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# per-worker-process reader cache: Python workers are reused across tasks,
+# so the index-open + LRU warmup amortizes over the whole evaluation
+_READERS: dict = {}
+
+
+def _get_reader(root: str, **kwargs):
+    from websearchengine_spark.operators.wand import BlockIndexReader
+
+    key = (root, tuple(sorted(kwargs.items())))
+    reader = _READERS.get(key)
+    if reader is None:
+        reader = _READERS[key] = BlockIndexReader(root, **kwargs)
+    return reader
+
+
+def batch_search(
+    queries: DataFrame,
+    index_root: str,
+    conjunctive: bool = True,
+    k: int = 10,
+    num_partitions: int | None = None,
+    **reader_kwargs,
+) -> DataFrame:
+    """(query_id, query) → (query_id, rank, doc_id, score), evaluated by
+    executor-local serving engines. Rank-identical to driver-side
+    ``BlockIndexReader.search`` (same code runs in the workers)."""
+    q = queries.select("query_id", "query")
+    if num_partitions is not None:
+        q = q.repartition(num_partitions)
+
+    def eval_partition(batches):
+        reader = _get_reader(index_root, **reader_kwargs)
+        for pdf in batches:
+            qids, ranks, docs, scores = [], [], [], []
+            for qid, text in zip(pdf["query_id"], pdf["query"]):
+                for rank, d, s in reader.search(
+                    text, conjunctive=conjunctive, k=k
+                ):
+                    qids.append(qid)
+                    ranks.append(rank)
+                    docs.append(d)
+                    scores.append(s)
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(qids, dtype="int64"),
+                    "rank": pd.Series(ranks, dtype="int64"),
+                    "doc_id": pd.Series(docs, dtype="int64"),
+                    "score": pd.Series(scores, dtype="float64"),
+                }
+            )
+
+    return q.mapInPandas(
+        eval_partition, "query_id long, rank long, doc_id long, score double"
+    )
+
+
+def batch_mrr(
+    spark: SparkSession,
+    queries: DataFrame,
+    qrels: DataFrame,
+    index_root: str,
+    n: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed MRR@n (evaluation.cpp:484-490, 715-720): reciprocal rank
+    of each query's relevant doc within the top-n conjunctive results, mean
+    over evaluated queries. ``qrels``: (query_id, rel_doc). Returns one row
+    (mrr, n_queries); the mean is an ordered fold by query_id — the same
+    deterministic float summation the exhaustive plan and oracle use."""
+    results = batch_search(
+        queries, index_root, conjunctive=True, k=n, num_partitions=num_partitions
+    )
+    rr = (
+        results.join(qrels, "query_id")
+        .filter(F.col("doc_id") == F.col("rel_doc"))
+        .select("query_id", (F.lit(1.0) / F.col("rank")).alias("rr"))
+    )
+    per_query = qrels.join(rr, "query_id", "left").select(
+        "query_id", F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr")
+    )
+    return per_query.agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("query_id", "rr"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["rr"],
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mrr"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )

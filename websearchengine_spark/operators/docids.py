@@ -71,8 +71,19 @@ def assign_doc_ids(
     order_cols: Sequence[str] = ("conv_id", "turn_idx"),
     num_partitions: int | None = None,
     id_col: str = "doc_id",
-) -> DataFrame:
-    """Add a dense 0-based int64 ``id_col`` = rank in the total order."""
+    return_release: bool = False,
+):
+    """Add a dense 0-based int64 ``id_col`` = rank in the total order.
+
+    The range-partitioned frame stays persisted while the output is in
+    use — this is a CORRECTNESS requirement, not a perf cache: Spark's
+    range-boundary sampling is seeded from the physical RDD id, so a
+    re-execution after eviction can draw different partition boundaries,
+    and the driver-collected offsets would then number the wrong rows
+    (observed as permuted ids in testing). With ``return_release=True``
+    the function returns ``(out, release)`` — call ``release()`` once every
+    consumer of ``out`` has materialized, so long-lived processes (e.g. a
+    streaming writer, one call per micro-batch) don't accumulate caches."""
     part, offsets = ordered_partitions(df, order_cols, num_partitions)
 
     schema = T.StructType(df.schema.fields + [T.StructField(id_col, T.LongType(), False)])
@@ -87,8 +98,6 @@ def assign_doc_ids(
             yield pdf
 
     out = part.mapInPandas(add_ids, schema)
-    # hand the cache back to the caller for release once downstream frames
-    # are materialized (a leaked MEMORY_AND_DISK cache per build run
-    # accumulates across builds in one session)
-    out._docids_cache = part
+    if return_release:
+        return out, part.unpersist
     return out

@@ -21,11 +21,15 @@ class QueryType(IntEnum):
     RERANKING = 3
 
 
-def _query_vecs(spark, queries: list[tuple[int, str]], dim: int) -> DataFrame:
+def _query_vecs(
+    spark, queries: list[tuple[int, str]], dim: int, model=None
+) -> DataFrame:
+    """Query encoding through the batched pandas-UDF encoder seam
+    (operators/semantic.py::encode_texts_udf); pass ``model`` to use a real
+    bi-encoder, default = the deterministic hash encoder (gate-checked)."""
     qdf = spark.createDataFrame(queries, "query_id long, query string")
-    return qdf.select(
-        "query_id", sem.pseudo_embedding(F.col("query"), dim=dim).alias("qv")
-    )
+    enc = sem.encode_texts_udf(dim=dim, model=model)
+    return qdf.select("query_id", enc(F.col("query")).alias("qv"))
 
 
 def search_api(

@@ -29,6 +29,50 @@ from websearchengine_spark.pipeline.hashing import h60
 from websearchengine_spark.pipeline.similarity import cosine_col
 
 
+def encode_texts_udf(dim: int = 64, model=None):
+    """The batched encoder seam as a REAL pandas UDF — drop a model in
+    without touching any plan (the reference's C++↔Python boundary,
+    main.cpp:727-742 + learning_to_rank.py:15-18, where
+    SentenceTransformer.encode takes a batch of strings).
+
+    ``model``: any object with ``encode(list[str]) -> sequence of float
+    vectors`` (the sentence-transformers shape; models are not in this
+    container, so the default is the deterministic hash encoder, which
+    produces EXACTLY the :func:`pseudo_embedding` column values — the q2/q3
+    gates therefore verify this UDF end-to-end against the SQL oracle).
+    Batching: one UDF call per Arrow batch — a GPU model amortizes its
+    batch overhead exactly as the reference's batch-224 encoding does."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    def _encode(texts):  # Series[str] -> Series[list[float]]
+        filled = texts.fillna("")
+        if model is not None:
+            vecs = model.encode(list(filled))
+            return pd.Series(
+                [[float(x) for x in v] for v in vecs], index=texts.index
+            )
+        out = []
+        for t in filled:
+            out.append(
+                [
+                    (
+                        int(hashlib.md5(f"{t}#{j}".encode("utf-8")).hexdigest()[:15], 16)
+                        % 2001
+                        - 1000
+                    )
+                    / 1000.0
+                    for j in range(dim)
+                ]
+            )
+        return pd.Series(out, index=texts.index)
+
+    return pandas_udf(_encode, ArrayType(DoubleType()))
+
+
 def pseudo_embedding(text_col: Column, dim: int = 64) -> Column:
     """Deterministic stand-in encoder for environments without a model:
     component j = (h60(text || '#' || j) % 2001 − 1000) / 1000 ∈ [−1, 1].

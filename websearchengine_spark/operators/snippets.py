@@ -1,24 +1,35 @@
 """Snippet extraction (reference P13, main.cpp:498-547) + per-result term
 frequencies (J3, main.cpp:610-612 — the `freqs` pairs in the JSON results).
 
-Reference behavior: after ranking, re-read the doc body, scan tokens for the
-first occurrence of any query term, and cut a window of ``snippet_len``
-characters centered on it (expanded to UTF-8 boundaries). Rebuild semantics
-(documented, deterministic, identical in Spark and the DuckDB oracle):
+Reference behavior (ported exactly — see :func:`reference_snippet`):
 
-- match position = min over cleaned query terms of the first word-boundary
-  occurrence (1-based char position in the body; 0 if no term occurs —
-  possible for conjunctive matches only via tokenizer/boundary mismatches,
-  and for disjunctive results by construction);
-- snippet = ``substr(body, max(1, pos - len/2), len)`` — a center-out
-  window; byte==char here because gate documents are ASCII (full UTF-8
-  boundary handling lives in the serving path, which slices Python
-  strings — codepoint-safe by construction).
+- after ranking, the doc body is re-tokenized with the FULL tokenizer
+  (same is_al_num/ASCII-tolower state machine the index build uses);
+- query terms are probed in **sorted query_list order** (main.cpp:520:
+  ``for (const auto &term: query_list)``) — the FIRST sorted term that
+  occurs anywhere in the body wins, and its first occurrence becomes the
+  anchor (NOT the earliest occurrence of any term);
+- the window is ``[anchor − len/2, anchor + len/2)`` in BYTES, then both
+  edges move off UTF-8 continuation/lead bytes: begin backs up while the
+  byte has the high bit set (main.cpp:527-529 — note this backs over whole
+  multi-byte characters until an ASCII byte or position 0; the reference
+  lets begin_pos reach −1, an out-of-bounds read we clamp to 0), end
+  advances while the high bit is set, then one extra byte is included when
+  the end moved and ``end+1 < size`` (main.cpp:531-538 — reproduced
+  literally);
+- a ranked doc whose body contains NO query term produces no result item
+  (main.cpp:520-546), and an empty data array forces count = 0.
 
-Serving path: :class:`SnippetService` resolves doc_id → (conv_id, turn_idx)
-through the index's doc_stats table and fetches turn text from the
-transcripts parquet via pyarrow (the analogue of the reference's page-table
-byte offsets into the corpus file, main.cpp:63-69, 498).
+Gate/DataFrame path: on the gate corpus (pure ``[a-z0-9 ]``) these
+semantics reduce to column expressions — sorted-term-priority first match
++ the centered character window — mirrored 1:1 in the DuckDB oracle
+(plans/gate_queries.py). The full-Unicode byte semantics are pytest
+property-tested against an independent character-level spec port.
+
+Serving path: :class:`SnippetService` resolves doc_id → (conv_id,
+turn_idx, role) through the index's doc_stats table and fetches turn text
+from the transcripts parquet via pyarrow (the analogue of the reference's
+page-table byte offsets into the corpus file, main.cpp:63-69, 498).
 """
 
 from __future__ import annotations
@@ -27,49 +38,166 @@ import pyarrow.dataset as ds
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from websearchengine_spark.functions.tokenizer import clean_query, tokenize
+from websearchengine_spark.functions.tokenizer import (
+    ASCII_LOWER,
+    WORD_RE,
+    clean_query,
+    is_word_char,
+    tokenize,
+)
 
+
+# ---------------------------------------------------------------------------
+# reference-exact byte-level snippet (serving path, full Unicode)
+
+def _token_byte_offsets(text: str):
+    """[(lowered_token, byte_offset_of_token_start)] via the production
+    tokenizer (regex + ASCII translate). Byte offsets computed from a
+    codepoint→byte prefix map (O(n), ASCII fast path)."""
+    out = []
+    if text.isascii():
+        for m in WORD_RE.finditer(text):
+            out.append((m.group().translate(ASCII_LOWER), m.start()))
+        return out
+    # codepoint index → byte offset of that codepoint
+    offsets = [0]
+    for ch in text:
+        offsets.append(offsets[-1] + len(ch.encode("utf-8")))
+    for m in WORD_RE.finditer(text):
+        out.append((m.group().translate(ASCII_LOWER), offsets[m.start()]))
+    return out
+
+
+def _cut_window(data: bytes, anchor: int, snippet_len: int) -> str:
+    """The reference's byte-window rule (main.cpp:525-541), incl. the
+    end+1 quirk; begin clamped at 0 instead of the reference's possible
+    −1 out-of-bounds read (documented non-replication)."""
+    size = len(data)
+    begin = max(anchor - snippet_len // 2, 0)
+    while begin >= 0 and begin < size and (data[begin] & 0x80) != 0:
+        begin -= 1
+    if begin < 0:
+        begin = 0
+    end = min(anchor + snippet_len // 2, size)
+    original_end = end
+    while end < size and (data[end] & 0x80) != 0:
+        end += 1
+    end += 1 if (end + 1 < size and end != original_end) else 0
+    return data[begin:end].decode("utf-8", errors="replace")
+
+
+def reference_snippet(text: str, terms: list[str], snippet_len: int) -> str | None:
+    """Production port of main.cpp:498-547. ``terms`` must be the cleaned
+    (deduped, sorted) query list. None ⇔ no term occurs in the body (the
+    reference emits no result item then)."""
+    toks = _token_byte_offsets(text)
+    for term in terms:  # sorted query_list order — FIRST sorted term wins
+        for tok, boff in toks:
+            if tok == term:
+                return _cut_window(text.encode("utf-8"), boff, snippet_len)
+    return None
+
+
+def reference_snippet_spec(text: str, terms: list[str], snippet_len: int) -> str | None:
+    """Independent spec port for property tests: character-at-a-time
+    is_word_char scan (mirroring the C++ byte state machine) instead of the
+    regex path, sharing only the window cutter."""
+    toks = []
+    cur: list[str] = []
+    cur_start = 0
+    boff = 0
+    for ch in text:
+        blen = len(ch.encode("utf-8"))
+        if is_word_char(ord(ch)):
+            if not cur:
+                cur_start = boff
+            o = ord(ch)
+            cur.append(chr(o + 32) if 0x41 <= o <= 0x5A else ch)
+        elif cur:
+            toks.append(("".join(cur), cur_start))
+            cur = []
+        boff += blen
+    if cur:
+        toks.append(("".join(cur), cur_start))
+    for term in terms:
+        for tok, off in toks:
+            if tok == term:
+                return _cut_window(text.encode("utf-8"), off, snippet_len)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# gate/DataFrame path (exact on the [a-z0-9 ] gate corpus)
 
 def first_match_pos_col(text: Column, terms: list[str]) -> Column:
-    """1-based char position of the first word-boundary occurrence of any
-    term (0 = none). Word boundary via space-padding — exact for the
-    [a-z0-9 ]-alphabet gate corpus and mirrored verbatim in the SQL oracle."""
+    """1-based char position of the first occurrence of the FIRST sorted
+    term present (0 = none) — the reference's sorted-term priority
+    (main.cpp:520). Word boundary via space-padding — exact for the
+    [a-z0-9 ]-alphabet gate corpus, mirrored verbatim in the SQL oracle."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    locs = [F.locate(f" {t} ", padded) for t in terms]
-    nonzero = [F.when(loc > 0, loc) for loc in locs]
-    return F.coalesce(F.least(*nonzero) if len(nonzero) > 1 else nonzero[0], F.lit(0))
+    locs = [F.when(F.locate(f" {t} ", padded) > 0, F.locate(f" {t} ", padded))
+            for t in sorted(terms)]
+    return F.coalesce(*locs, F.lit(0))
 
 
 def snippet_col(text: Column, pos: Column, length: int) -> Column:
-    """Centered window: substr(text, max(1, pos - length/2), length)."""
-    start = F.greatest(F.lit(1), pos - length // 2)
-    return F.substring(text, start, length)
+    """Centered window [off − len/2, off + len/2) with off = pos − 1
+    (0-based anchor), clamped to the text — the reference's byte window,
+    which equals this character window on ASCII text (no UTF-8 edge moves,
+    no end+1 quirk). pos = 0 (no match) → empty string (the reference
+    emits no item at all; the gate keeps the row, documented)."""
+    off = pos - 1
+    begin = F.greatest(F.lit(0), off - length // 2)
+    end = F.least(F.length(text), off + length // 2)
+    return F.when(pos > 0, F.substring(text, begin + 1, end - begin)).otherwise(
+        F.lit("")
+    )
 
 
 def first_match_pos(text: str, terms: list[str]) -> int:
+    """Python mirror of first_match_pos_col."""
     padded = f" {text.lower()} "
-    best = 0
-    for t in terms:
+    for t in sorted(terms):
         i = padded.find(f" {t} ")
-        if i >= 0 and (best == 0 or i + 1 < best):
-            best = i + 1
-    return best
+        if i >= 0:
+            return i + 1
+    return 0
 
 
 def make_snippet(text: str, pos: int, length: int) -> str:
     """Python mirror of snippet_col (codepoint-safe slicing)."""
-    start = max(1, pos - length // 2)
-    return text[start - 1 : start - 1 + length]
+    if pos <= 0:
+        return ""
+    off = pos - 1
+    begin = max(0, off - length // 2)
+    end = min(len(text), off + length // 2)
+    return text[begin:end]
 
 
 class SnippetService:
     """Serving-side snippet fetch: doc_id → turn text → snippet. The page
-    table analogue — doc_stats carries (doc_id, conv_id, turn_idx); the
-    transcripts parquet is the corpus file."""
+    table analogue — doc_stats carries (doc_id, conv_id, turn_idx, role);
+    the transcripts parquet is the corpus file."""
 
     def __init__(self, doc_stats_path: str, transcripts_path: str):
         self._doc_stats = ds.dataset(doc_stats_path)
         self._transcripts = ds.dataset(transcripts_path)
+
+    def meta_for(self, doc_ids: list[int]) -> dict[int, dict]:
+        """doc_id → {conv_id, turn_idx, role} — the `url` analogue of the
+        result items (SURVEY.md §1.5)."""
+        rows = self._doc_stats.to_table(
+            filter=ds.field("doc_id").isin(doc_ids),
+            columns=["doc_id", "conv_id", "turn_idx", "role"],
+        ).to_pylist()
+        return {
+            r["doc_id"]: {
+                "conv_id": r["conv_id"],
+                "turn_idx": r["turn_idx"],
+                "role": r["role"],
+            }
+            for r in rows
+        }
 
     def texts_for(self, doc_ids: list[int]) -> dict[int, str]:
         keys = self._doc_stats.to_table(
@@ -89,10 +217,24 @@ class SnippetService:
             for r in keys
         }
 
+    def reference_snippets(
+        self, query: str, doc_ids: list[int], snippet_len: int = 120
+    ) -> dict[int, str | None]:
+        """doc_id → reference-exact snippet (None ⇔ no query term in the
+        body ⇒ the result item is dropped, main.cpp:520-546)."""
+        terms = clean_query(query)
+        texts = self.texts_for(doc_ids)
+        return {
+            d: reference_snippet(text, terms, snippet_len)
+            for d, text in texts.items()
+        }
+
     def snippets(
         self, query: str, doc_ids: list[int], snippet_len: int = 120
     ) -> dict[int, tuple[int, str]]:
-        """doc_id → (match_pos, snippet) for the cleaned query terms."""
+        """doc_id → (match_pos, snippet) under the gate-column semantics
+        (ASCII corpora); use :meth:`reference_snippets` for the byte-exact
+        reference behavior."""
         terms = clean_query(query)
         texts = self.texts_for(doc_ids)
         out = {}

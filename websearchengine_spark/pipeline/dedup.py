@@ -243,13 +243,80 @@ CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """60-bit SimHash over whitespace tokens weighted by term frequency:
-    bit j = 1 iff Σ_tokens tf·(±1 from bit j of h60(token)) > 0.
-    (doc_id, simhash). Docs with no tokens get simhash 0.
+    """Production 60-bit SimHash over whitespace/alnum tokens weighted by
+    term frequency: bit j = 1 iff Σ_tokens tf·(±1 from bit j of h60(token))
+    > 0. (doc_id, simhash). Docs with no tokens get simhash 0.
 
-    Plan: tokens → (token, tf) via exploded groupBy → 60-way bit explode of
-    the *per-distinct-token* hash (term space ≪ token space) → sign-sum →
-    bit reassembly. All JVM-side."""
+    Physical plan: ONE Arrow-batched ``mapInPandas`` — per batch, tokenize
+    (C-level regex), factorize tokens, ONE md5 per distinct token (exactly
+    h60: int(md5[:15 hex], 16)), then a vectorized ±1 bit-matrix
+    scatter-add; integer arithmetic end-to-end, so the output is
+    bit-identical to the SQL oracle AND to the pure-column plan. The prior
+    column plan exploded 60 bit-rows per (doc, distinct token) through a
+    shuffle (60× the postings volume at 10^12 docs); it survives as
+    :func:`simhash_explode`, the oracle-check plan (pytest asserts
+    equality). No shuffle at all here — a narrow map over the docs."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    tok_re = re.compile("[a-z0-9]+")
+
+    def sim_batches(pdfs):
+        import hashlib
+
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for pdf in pdfs:
+            n = len(pdf)
+            if n == 0:
+                continue
+            toks = [
+                tok_re.findall((t or "").lower()) for t in pdf["text"]
+            ]
+            lens = np.fromiter((len(t) for t in toks), np.int64, n)
+            sim = np.zeros(n, dtype=np.int64)
+            if lens.sum() > 0:
+                from itertools import chain
+
+                rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+                codes, uniques = pd.factorize(
+                    np.asarray(list(chain.from_iterable(toks)), dtype=object)
+                )
+                # tf per (row, token): fused int64 key → unique+counts
+                key = rows * np.int64(len(uniques)) + codes
+                uk, counts = np.unique(key, return_counts=True)
+                r_idx = (uk // len(uniques)).astype(np.int64)
+                c_idx = (uk % len(uniques)).astype(np.int64)
+                # one h60 per DISTINCT token in the batch (vocab ≪ tokens)
+                h = np.fromiter(
+                    (
+                        int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
+                        for u in uniques
+                    ),
+                    np.int64,
+                    len(uniques),
+                )
+                bits = (((h[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64)
+                v = np.zeros((n, SIMHASH_BITS), dtype=np.int64)
+                np.add.at(v, r_idx, counts[:, None] * bits[c_idx])
+                sim = ((v > 0).astype(np.int64) << shifts).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "simhash": pd.Series(sim, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        sim_batches, "doc_id long, simhash long"
+    )
+
+
+def simhash_explode(docs: DataFrame) -> DataFrame:
+    """Oracle-check plan (pure column expressions, SQL-mirrorable 1:1):
+    60-way bit explode per (doc, distinct token) — kept ONLY to check
+    :func:`simhash` bit-identity in tests; never the scale path."""
     tf = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -410,6 +477,74 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFr
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def embedding_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    bucket_salt_target: int | None = 100_000,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the scale path for
+    :func:`embedding_dup_pairs`: candidates = pairs sharing the full
+    hyperplane-LSH signature (pipeline/similarity.py, production
+    mapInPandas signatures), verified by exact cosine ≥ threshold.
+    (vec_a, vec_b, cosine), vec_a < vec_b. Recall < 1 vs brute force by
+    design; the DuckDB oracle runs the SAME bucketed computation, so the
+    check is exact.
+
+    Skew: near-duplicate clusters make LSH buckets quadratic hot-spots
+    (a bucket 100× the mean ⇒ 10^4× the pairs on one task). Buckets larger
+    than ``bucket_salt_target`` are salted: the left side keeps one
+    deterministic salt (vec_id % n_salt), the right side replicates across
+    all n_salt values — every qualifying pair is still produced exactly
+    once, but the quadratic work spreads over n_salt tasks (the same
+    broadcast-joined salt-factor pattern as the index build's hot terms)."""
+    from websearchengine_spark.pipeline.similarity import cosine_col, lsh_signatures
+
+    sigs = lsh_signatures(embeddings, n_planes=n_planes)
+    e = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).join(sigs, "vec_id")
+    if bucket_salt_target is not None:
+        salts = (
+            sigs.groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .select(
+                "sig",
+                F.ceil(F.col("bn") / F.lit(bucket_salt_target))
+                .cast("int")
+                .alias("ns"),
+            )
+        )
+        left = e.join(F.broadcast(salts), "sig").withColumn(
+            "salt", (F.col("vec_id") % F.col("ns")).cast("int")
+        )
+        right = e.join(F.broadcast(salts), "sig").withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.col("ns") - 1))
+        )
+        cand = (
+            left.alias("x")
+            .join(right.alias("y"), ["sig", "salt"])
+            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        )
+    else:
+        cand = (
+            e.alias("x")
+            .join(e.alias("y"), "sig")
+            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        )
+    return (
+        cand.select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+        )
         .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")

@@ -77,11 +77,69 @@ def cosine_topk(
     )
 
 
+def plane_signs(n_planes: int, dim: int) -> "np.ndarray":
+    """(dim × n_planes) ±1 hyperplane matrix from the SAME md5-parity
+    constants the SQL oracle embeds: sign(p,d) = +1 iff h60(f"{p}:{d}") is
+    odd. Derived driver/worker-side with hashlib (md5 is md5 everywhere)."""
+    import hashlib
+
+    import numpy as np
+
+    s = np.empty((dim, n_planes), dtype=np.int64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            s[d, p] = 1 if h & 1 else -1
+    return s
+
+
 def lsh_signatures(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
-    """Hyperplane-LSH signature per vector: bit p = 1 iff
-    Σ_d sign(p,d)·fx(v_d) > 0, where sign(p,d) = ±1 from parity of
-    h60(p ':' d) and fx = round(v_d·10^4)::int64 (exact integer dot).
+    """Production hyperplane-LSH signatures: bit p = 1 iff
+    Σ_d sign(p,d)·fx(v_d) > 0 with fx = round(v_d·10^4)::int64.
+
+    Physical plan: the fixed-point step is a JVM column expression (the
+    IDENTICAL expression the oracle uses — no Python rounding-parity risk),
+    then ONE Arrow-batched ``mapInPandas`` does an int64 matmul per batch:
+    O(batch·dim·planes) multiply-adds in BLAS, zero row explosion. The
+    prior pure-column plan exploded (vector × dim × planes) rows through
+    two shuffles — ~6×10^12 shuffle rows at 10^9 vectors × 384 dims × 16
+    planes for what is one tiny matmul per vector; it survives as
+    :func:`lsh_signatures_explode`, the oracle-check plan (pytest asserts
+    bit-identity; integer arithmetic makes that exact).
     (vec_id, sig) with sig ∈ [0, 2^n_planes)."""
+    import numpy as np
+    import pandas as pd
+
+    fx = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * FIXED_POINT, 0).cast("long")
+    )
+    src = embeddings.select("vec_id", fx.alias("fx"))
+
+    def sig_batches(pdfs):
+        signs = None
+        shifts = np.arange(n_planes, dtype=np.int64)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["fx"].to_numpy()).astype(np.int64)
+            if signs is None or signs.shape[0] != m.shape[1]:
+                signs = plane_signs(n_planes, m.shape[1])
+            dots = m @ signs  # exact: |fx| ≤ ~1e5, dim ≤ ~1e3 ≪ 2^63
+            sig = ((dots > 0).astype(np.int64) << shifts).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "sig": pd.Series(sig, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(sig_batches, "vec_id long, sig long")
+
+
+def lsh_signatures_explode(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Oracle-check plan (pure column expressions, SQL-mirrorable 1:1):
+    explodes (vector × dim × planes) rows — kept ONLY to check
+    :func:`lsh_signatures` bit-identity in tests; never the scale path."""
     fx = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * FIXED_POINT, 0).cast("long")
     )
@@ -121,12 +179,26 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
 
 
 def ann_lsh_topk(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 8
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 8,
+    pre_topk_salt: int = 0,
 ) -> DataFrame:
     """Approximate NN: score only vectors sharing the query's LSH bucket,
     then exact-cosine rank within the bucket. (query_id, rank, vec_id,
     cosine). Recall < 1 vs cosine_topk by design; the oracle runs the same
-    bucketed computation, so the *check* is still exact."""
+    bucketed computation, so the *check* is still exact.
+
+    Skewed buckets (near-duplicate clusters ⇒ one bucket ≫ the mean): the
+    cosine compute itself stays distributed (broadcast join preserves the
+    doc side's partitioning), but the final per-query window shuffles the
+    whole bucket to one task. ``pre_topk_salt = s > 0`` inserts a two-phase
+    top-k: rank within (query_id, vec_id % s) first and keep k per salt —
+    the global top-k is a subset of the union of per-salt top-ks (every
+    global winner ranks ≤ k within its own salt, ties resolved by the same
+    (cosine DESC, vec_id ASC) key), so the output is IDENTICAL, while the
+    skewed window shrinks from |bucket| to s·k rows."""
     sigs = lsh_signatures(embeddings, n_planes=n_planes)
     e = _as_double(embeddings).join(sigs, "vec_id")
     q = e.filter(F.col("vec_id") < n_queries).select(
@@ -140,6 +212,16 @@ def ann_lsh_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("v")), 6))
     )
+    if pre_topk_salt > 0:
+        w1 = Window.partitionBy("query_id", "salt").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        scored = (
+            scored.withColumn("salt", (F.col("vec_id") % pre_topk_salt).cast("int"))
+            .withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= k)
+            .drop("salt", "r1")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

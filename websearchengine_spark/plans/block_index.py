@@ -37,7 +37,6 @@ already checkpointed for the same build_id + input fingerprint.
 
 from __future__ import annotations
 
-import math
 import os
 import time
 import zlib
@@ -111,25 +110,46 @@ def _vb_blocked(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> lis
     return [stream[cum[s] : cum[e]] for s, e in zip(starts, ends)]
 
 
-def _make_encoder(avg_dl: float, block_size: int, n_buckets: int):
+def _make_stream_encoder(avg_dl: float, block_size: int, n_buckets: int):
+    """Partition-streaming block encoder (mapInPandas body).
+
+    Input: a partition repartitioned by (term, salt) and sorted by
+    (term, salt, doc_id). The encoder is vectorized ACROSS groups — one
+    vb_encode per column per Arrow chunk, block boundaries derived from
+    group-relative row indices, reduceat for block max/min — so per-group
+    cost is O(postings), not O(1 ms) of per-group machinery. This matters:
+    ``groupBy().applyInPandas`` pays ~1-2 ms per group, which at a
+    reference-corpus-scale vocabulary (25.2M distinct terms,
+    readme_assignment.md table) is hours of pure overhead; here a
+    10^5-term chunk costs one pass of numpy.
+
+    Groups may span Arrow batches inside a partition — the trailing
+    (term, salt) group of each batch is carried into the next. Blocks
+    never span a (term, salt) group, so the produced layout is
+    deterministic and independent of the partition count (each (term,
+    salt) group lives in exactly one partition and is encoded alone)."""
     k1, b = K1, B
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Fully vectorized per-(term,salt) block builder: one sort, one
-        vb_encode per column (split at block boundaries), reduceat for the
-        block max/min scores — no per-block Python loop (an earlier version
-        built a dict per block; at 10^12 postings that loop IS the build)."""
-        pdf = pdf.sort_values("doc_id")
+    def encode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
-        term = pdf["term"].iat[0]
-        bucket = term_bucket(term, n_buckets)
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy()
         n = len(ids)
-        starts = np.arange(0, n, block_size, dtype=np.int64)
-        ends = np.minimum(starts + block_size, n)
+        # group starts: (term, salt) change points (input sorted)
+        gchg = np.nonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))[0] + 1
+        gstarts = np.concatenate(([0], gchg))
+        gsizes = np.diff(np.concatenate((gstarts, [n])))
+        # block boundaries: every block_size rows WITHIN a group
+        rel = np.arange(n, dtype=np.int64) - np.repeat(gstarts, gsizes)
+        bmask = (rel % block_size) == 0
+        starts = np.nonzero(bmask)[0]
+        ends = np.concatenate((starts[1:], [n]))
+        blocks_per_group = np.add.reduceat(bmask.astype(np.int64), gstarts)
+        gterms = terms[gstarts]
         # per-block delta encoding in one array: gaps everywhere, absolute
-        # value at each block start (same layout the per-block encoder made)
+        # value at each block start
         gaps = np.empty(n, dtype=np.uint64)
         u = ids.astype(np.uint64)
         gaps[0] = u[0]
@@ -138,9 +158,12 @@ def _make_encoder(avg_dl: float, block_size: int, n_buckets: int):
         # exact BM25 tf-component per posting (float64, same expression
         # tree as the oracle) — block max/min give tight WAND bounds
         tfc = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
+        buckets = np.fromiter(
+            (term_bucket(t, n_buckets) for t in gterms), np.int64, len(gterms)
+        )
         return pd.DataFrame(
             {
-                "term": term,
+                "term": np.repeat(gterms, blocks_per_group),
                 "doc_lo": ids[starts],
                 "doc_hi": ids[ends - 1],
                 "n": (ends - starts).astype(np.int32),
@@ -149,12 +172,29 @@ def _make_encoder(avg_dl: float, block_size: int, n_buckets: int):
                 "dls_vb": _vb_blocked(dls.astype(np.uint64), starts, ends),
                 "max_tfc": np.maximum.reduceat(tfc, starts),
                 "min_tfc": np.minimum.reduceat(tfc, starts),
-                "bucket": np.int32(bucket),
+                "bucket": np.repeat(buckets, blocks_per_group).astype(np.int32),
             },
             columns=[f.name for f in BLOCK_SCHEMA.fields],
         )
 
-    return encode_group
+    def encode_stream(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            t = pdf["term"].to_numpy()
+            s = pdf["salt"].to_numpy()
+            # first row of the trailing (term, salt) group → carry it over
+            cut = int(np.argmax((t == t[-1]) & (s == s[-1])))
+            head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
+            if len(head):
+                yield encode_frame(head)
+        if carry is not None and len(carry):
+            yield encode_frame(carry)
+
+    return encode_stream
 
 
 @dataclass
@@ -238,33 +278,40 @@ def build_block_index(
         F.avg("dl").alias("avg_dl_in_group"),
     ).persist()  # vocab-sized; reused by the lexicon write (saves a full
     #              re-aggregation pass over the postings at write time)
-    head = term_agg.filter(
-        F.col("term").isNull() | (F.col("df") > hot_df_threshold)
-    ).collect()
-    n_docs, avg_dl, hot = 0, 0.0, {}
-    for r in head:
-        if r["term"] is None:
-            n_docs, avg_dl = int(r["df"]), float(r["avg_dl_in_group"] or 0.0)
-        else:
-            hot[r["term"]] = int(math.ceil(r["df"] / target_group_size))
+    head = term_agg.filter(F.col("term").isNull()).collect()  # 1 row
+    n_docs = int(head[0]["df"]) if head else 0
+    avg_dl = float(head[0]["avg_dl_in_group"] or 0.0) if head else 0.0
     # `flat` is materialized now; the range-partition cache is done
     part.unpersist()
 
     # lexicon: df (postings per term == distinct docs per term) + cf
     lexicon = term_agg.filter(F.col("term").isNotNull()).select("term", "df", "cf")
-    if hot:
-        salt_map = F.create_map(
-            *[x for t, ns in hot.items() for x in (F.lit(t), F.lit(ns))]
+    # hot-term salt factors as a BROADCAST-JOINED frame, never driver
+    # literals: at real corpus scale the df > threshold set is 10^5-10^6
+    # stopword-ish terms — a create_map literal of that size becomes a
+    # multi-million-node Catalyst expression (and the terms never need to
+    # touch the driver at all; the salt frame is derived from the same
+    # persisted aggregation the lexicon reads)
+    hot_df = term_agg.filter(
+        F.col("term").isNotNull() & (F.col("df") > hot_df_threshold)
+    ).select(
+        "term",
+        F.ceil(F.col("df") / F.lit(target_group_size)).cast("int").alias("n_salt"),
+    )
+    salted = (
+        postings.join(F.broadcast(hot_df), "term", "left")
+        .withColumn(
+            # contiguous docID ranges per salt ⇒ salted sub-lists concatenate
+            # back into globally sorted posting order
+            "salt",
+            (
+                F.col("doc_id") * F.coalesce(F.col("n_salt"), F.lit(1))
+                / F.lit(max(n_docs, 1))
+            ).cast("int"),
         )
-        ns_col = F.coalesce(salt_map[F.col("term")], F.lit(1))
-    else:
-        ns_col = F.lit(1)
-    salted = postings.withColumn(
-        # contiguous docID ranges per salt ⇒ salted sub-lists concatenate
-        # back into globally sorted posting order
-        "salt",
-        (F.col("doc_id") * ns_col / F.lit(max(n_docs, 1))).cast("int"),
-    ).withColumn("bucket", (F.crc32(F.col("term")) % n_buckets).cast("int"))
+        .drop("n_salt")
+        .withColumn("bucket", (F.crc32(F.col("term")) % n_buckets).cast("int"))
+    )
 
     # ---- resume: skip buckets checkpointed for this build_id + lineage
     fingerprint = f"{n_docs}:{avg_dl:.6f}"
@@ -291,8 +338,14 @@ def build_block_index(
 
     if build_buckets:
         to_build = salted.filter(F.col("bucket").isin(build_buckets))
-        blocks = to_build.groupBy("term", "salt").applyInPandas(
-            _make_encoder(avg_dl, block_size, n_buckets), BLOCK_SCHEMA
+        # shuffle by (term, salt) + in-partition sort, then a STREAMING
+        # vectorized encoder (mapInPandas) — the shuffle is the k-way merge
+        # (merge_index.cpp:394-476 analogue) and the encoder has no
+        # per-group overhead (see _make_stream_encoder)
+        blocks = (
+            to_build.repartition("term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(_make_stream_encoder(avg_dl, block_size, n_buckets), BLOCK_SCHEMA)
         )
         # dynamic partition overwrite → idempotent per-bucket commits.
         # Blocks are sorted by (term, doc_lo) within each bucket file and

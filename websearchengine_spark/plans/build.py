@@ -55,6 +55,11 @@ class LogicalIndex:
     lexicon: DataFrame    # (term, df, cf)
     n_docs: int
     avg_dl: float
+    release: "object" = staticmethod(lambda: None)
+    # ^ frees the build-time caches (docID range partition + flat token
+    #   frame). Call when DONE with the index: the docID cache is a
+    #   correctness pin (see operators/docids.assign_doc_ids), so the
+    #   frames must not be used after release.
 
     def bm25_score_col(self, tf_col: str = "tf", df_col: str = "df", dl_col: str = "term_cnt"):
         """Exact BM25 column expression (main.cpp:446-450; no IDF floor —
@@ -65,12 +70,17 @@ class LogicalIndex:
         return idf * tf_c
 
 
-def docs_table(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def docs_table(
+    transcripts: DataFrame,
+    num_partitions: int | None = None,
+    return_release: bool = False,
+):
     """Assign stable dense docIDs (SURVEY.md §1.5) and project doc columns."""
     return assign_doc_ids(
         transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
         order_cols=("conv_id", "turn_idx"),
         num_partitions=num_partitions,
+        return_release=return_release,
     )
 
 
@@ -79,7 +89,9 @@ def build_logical_index(
     num_partitions: int | None = None,
     persist: bool = True,
 ) -> LogicalIndex:
-    docs = docs_table(transcripts, num_partitions=num_partitions)
+    docs, docs_release = docs_table(
+        transcripts, num_partitions=num_partitions, return_release=True
+    )
 
     # tokenize ONCE via the vectorized flat mapInPandas (see
     # functions.tokenizer.tokenize_postings_frame): posting rows + term-NULL
@@ -114,6 +126,12 @@ def build_logical_index(
     row = doc_stats.agg(
         F.count(F.lit(1)).alias("n"), F.avg("term_cnt").alias("avgdl")
     ).collect()[0]
+
+    def _release():
+        docs_release()
+        if persist:
+            flat.unpersist()
+
     return LogicalIndex(
         docs=docs,
         doc_stats=doc_stats,
@@ -121,6 +139,7 @@ def build_logical_index(
         lexicon=lexicon,
         n_docs=int(row["n"]),
         avg_dl=float(row["avgdl"] or 0.0),
+        release=_release,
     )
 
 

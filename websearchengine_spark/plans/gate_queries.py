@@ -474,10 +474,14 @@ JOIN postings p ON p.term = q.term AND p.doc_id = t.doc_id
 
 
 def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P13 (main.cpp:498-547): snippet window around the first query-term
-    occurrence for each conjunctive top-10 result. match_pos = min 1-based
-    position of a word-boundary term occurrence (0 = none); snippet =
-    120-char window centered on it (operators/snippets.py semantics)."""
+    """P13 (main.cpp:498-547), reference-exact on this corpus: terms are
+    probed in SORTED query-list order (main.cpp:520) — the first sorted
+    term that occurs anchors the snippet at its first occurrence;
+    snippet = the centered window [anchor − 60, anchor + 60) clamped to
+    the text (= the reference's byte window on ASCII text). match_pos =
+    1-based anchor, 0 = no term occurs (snippet '' — the reference drops
+    the item; the gate keeps the row). Full-Unicode byte semantics are
+    property-tested in tests/test_snippets_ref.py."""
     from websearchengine_spark.operators.snippets import snippet_col
 
     qt = spark.createDataFrame(
@@ -491,9 +495,17 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs, "doc_id")
         .withColumn("loc", F.expr("locate(concat(' ', term, ' '), concat(' ', lower(text), ' '))"))
     )
+    # sorted-term priority: first (term ASC) entry with loc > 0
     agg = rows.groupBy("query_id", "rank", "doc_id").agg(
         F.coalesce(
-            F.min(F.when(F.col("loc") > 0, F.col("loc"))), F.lit(0)
+            F.get(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("term", "loc"))),
+                    lambda x: x["loc"] > 0,
+                ),
+                0,
+            )["loc"],
+            F.lit(0),
         ).cast("long").alias("match_pos"),
         F.first("text").alias("text"),
     )
@@ -506,7 +518,7 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SNIPPETS = f"""
 WITH {SQL_CONJ_TOP10_CTES},
 rows_ AS (
-  SELECT t.query_id, t.rank, t.doc_id, d.text,
+  SELECT t.query_id, t.rank, t.doc_id, d.text, q.term,
          position(' ' || q.term || ' ' IN ' ' || lower(d.text) || ' ') AS loc
   FROM top10 t
   JOIN qterms q ON q.query_id = t.query_id
@@ -514,12 +526,16 @@ rows_ AS (
 ),
 agg AS (
   SELECT query_id, rank, doc_id,
-         COALESCE(MIN(CASE WHEN loc > 0 THEN loc END), 0)::BIGINT AS match_pos,
+         COALESCE((list(loc ORDER BY term) FILTER (WHERE loc > 0))[1], 0)::BIGINT AS match_pos,
          any_value(text) AS text
   FROM rows_ GROUP BY query_id, rank, doc_id
 )
 SELECT query_id, rank, doc_id, match_pos,
-       substr(text, greatest(1, match_pos - 60), 120) AS snippet
+       CASE WHEN match_pos > 0 THEN
+         substr(text,
+                greatest(0, match_pos - 1 - 60) + 1,
+                least(length(text), match_pos - 1 + 60) - greatest(0, match_pos - 1 - 60))
+       ELSE '' END AS snippet
 FROM agg
 """
 
@@ -533,12 +549,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gate_query_vecs(spark: SparkSession, dim: int = 64) -> DataFrame:
-    from websearchengine_spark.operators.semantic import pseudo_embedding
+    """Query vectors through the REAL encoder seam (batched pandas UDF,
+    operators/semantic.py::encode_texts_udf) — its default hash encoder
+    emits exactly the pseudo_embedding values the SQL oracle mirrors, so
+    q2/q3 verify the UDF path end-to-end."""
+    from websearchengine_spark.operators.semantic import encode_texts_udf
 
     qdf = spark.createDataFrame(GATE_QUERIES, "query_id long, query string")
-    return qdf.select(
-        "query_id", pseudo_embedding(F.col("query"), dim=dim).alias("qv")
-    )
+    enc = encode_texts_udf(dim=dim)
+    return qdf.select("query_id", enc(F.col("query")).alias("qv"))
 
 
 def q_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,6 +692,20 @@ def _q_serving(conjunctive: bool):
     return run
 
 
+def q_batch_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 distributed batch evaluation (evaluation.cpp:570-660): MRR@10
+    computed by executor-local serving engines via mapInPandas (no driver
+    loop), qrels derived exactly like a5_mrr_at_10 (min docID of the
+    conjunctive top-20). Must equal the same DuckDB oracle as a5."""
+    from websearchengine_spark.operators.batch_eval import batch_mrr, batch_search
+
+    root = _serving_index(spark, sf_dir)
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id long, query string")
+    top20 = batch_search(qdf, root, conjunctive=True, k=20, num_partitions=4)
+    qrels = top20.groupBy("query_id").agg(F.min("doc_id").alias("rel_doc"))
+    return batch_mrr(spark, qdf, qrels, root, n=10, num_partitions=4)
+
+
 def core_entries() -> dict[str, tuple]:
     """name → (spark_fn, sql | None)."""
     return {
@@ -697,6 +730,10 @@ def core_entries() -> dict[str, tuple]:
             SQL_SNIPPETS.replace("{qterms}", _qterms_values()),
         ),
         "m3_serving_conjunctive_topk": (_q_serving(True), _sql_bm25_ranked(True)),
+        "m4_batch_eval_mrr": (
+            q_batch_eval_mrr,
+            SQL_MRR.replace("{qterms}", _qterms_values()),
+        ),
         "m3_serving_disjunctive_topk": (_q_serving(False), _sql_bm25_ranked(False)),
         "q2_semantic_topk": (
             q_semantic_topk,

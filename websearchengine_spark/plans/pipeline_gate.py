@@ -332,6 +332,27 @@ SELECT vec_a, vec_b, cosine FROM (
 """
 
 
+def q_embedding_dup_lsh(spark, sf_dir):
+    """Bucketed (LSH) embedding near-dup pairs — the scale path for
+    dd_embedding_dup_pairs; bucket_salt_target small enough that the
+    skew salting actually engages at gate SF (output is salt-invariant)."""
+    return dedup.embedding_dup_pairs_lsh(
+        _emb(spark, sf_dir), threshold=0.1, n_planes=8, bucket_salt_target=50
+    )
+
+
+# defined after SQL_LSH_SIG_BODY below
+SQL_EMBEDDING_DUP_LSH_TMPL = """
+WITH {emb}, {sigbody},
+ev AS (SELECT e.vec_id, e.v, s.sig FROM emb e JOIN sig s USING (vec_id))
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+         ROUND({cos}, 6) AS cosine
+  FROM ev a JOIN ev b ON a.sig = b.sig AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.1
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -557,6 +578,14 @@ def pipeline_entries() -> dict[str, tuple]:
         "dd_simhash_dup_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
         "dd_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),
         "dd_embedding_dup_pairs": (q_embedding_dup, SQL_EMBEDDING_DUP),
+        "dd_embedding_dup_pairs_lsh": (
+            q_embedding_dup_lsh,
+            SQL_EMBEDDING_DUP_LSH_TMPL.format(
+                emb=SQL_EMB,
+                sigbody=SQL_LSH_SIG_BODY,
+                cos=SQL_COS.format(a="a.v", b="b.v"),
+            ),
+        ),
         "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "sim_lsh_signatures": (q_lsh_signatures, SQL_LSH_SIGNATURES),
         "sim_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
@@ -571,6 +600,8 @@ def pipeline_bench_fns() -> dict[str, callable]:
     return {
         "pl_minhash_lsh_dedup": q_minhash_lsh,
         "pl_simhash_dup_pairs": q_simhash_pairs,
+        "pl_simhash_signatures": q_simhash,        # production mapInPandas plan
+        "pl_lsh_ann_topk": q_ann_lsh_topk,         # production signatures underneath
         "pl_cosine_topk": q_cosine_topk,
         "pl_quality_score": q_quality_score,
     }

@@ -38,6 +38,75 @@ def stream_transcripts(
     return reader.parquet(path)
 
 
+def make_batch_writer(staging_dir: str):
+    """The foreachBatch body for :func:`stage_stream`, exposed so tests can
+    drive it directly (including simulated replays).
+
+    docID allocation: ONE meta read at (re)start primes an in-memory
+    allocator (``next_id`` + the known batch→range map); subsequent batches
+    allocate without touching storage — no per-batch meta scan serializing
+    commits (the previous design re-read `_batch_meta` and took max(id_hi)
+    every micro-batch).
+
+    Replay-idempotent: per-batch meta lives in its own
+    ``_batch_meta/batch_id=<id>/`` partition written with overwrite, and a
+    replayed batch_id REUSES its recorded id_lo — so a batch that crashed
+    after the meta write but before the checkpoint commit replays with the
+    same ids, overwrites the same turns directory byte-compatibly, and
+    leaves exactly one meta row (the previous append-mode design shifted
+    id_lo on replay, leaving id-space gaps and duplicate conflicting meta
+    rows)."""
+    state: dict = {"next_id": None, "known": {}}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        meta_path = os.path.join(staging_dir, "_batch_meta")
+        if state["next_id"] is None:
+            try:
+                rows = spark.read.parquet(meta_path).collect()
+                state["known"] = {
+                    int(r["batch_id"]): (int(r["id_lo"]), int(r["n_turns"]))
+                    for r in rows
+                }
+                state["next_id"] = max(
+                    (lo + n for lo, n in state["known"].values()), default=0
+                )
+            except Exception:  # no meta yet — fresh stream
+                state["next_id"] = 0
+        batch_id = int(batch_id)
+        if batch_id in state["known"]:
+            id_lo = state["known"][batch_id][0]  # replay: reuse allocation
+        else:
+            id_lo = state["next_id"]
+        from websearchengine_spark.operators.docids import assign_doc_ids
+
+        with_batch_rows, release = assign_doc_ids(
+            batch_df, order_cols=("conv_id", "turn_idx"), id_col="batch_row",
+            return_release=True,
+        )
+        with_ids = with_batch_rows.withColumn(
+            "doc_id", F.col("batch_row") + F.lit(id_lo)
+        ).drop("batch_row")
+        n = with_ids.count()
+        (
+            with_ids.write.mode("overwrite")
+            .parquet(os.path.join(staging_dir, "turns", f"batch={batch_id}"))
+        )
+        release()  # per-micro-batch cache — must not accumulate in a stream
+        (
+            spark.createDataFrame(
+                [(int(n), int(id_lo), int(id_lo + n - 1))],
+                "n_turns long, id_lo long, id_hi long",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(meta_path, f"batch_id={batch_id}"))
+        )
+        state["known"][batch_id] = (id_lo, n)
+        state["next_id"] = max(state["next_id"], id_lo + n)
+
+    return write_batch
+
+
 def stage_stream(
     stream: DataFrame,
     staging_dir: str,
@@ -48,36 +117,10 @@ def stage_stream(
     arrival-order docIDs. Returns the StreamingQuery (caller awaits it).
 
     Exactly-once: the file source tracks consumed files in the checkpoint;
-    a replayed batch overwrites its own batch directory (same batch id ⇒
-    same path ⇒ idempotent)."""
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        meta_path = os.path.join(staging_dir, "_batch_meta")
-        id_lo = 0
-        try:
-            prev = spark.read.parquet(meta_path)
-            row = prev.agg(F.max("id_hi").alias("m")).collect()[0]
-            id_lo = int(row["m"]) + 1 if row["m"] is not None else 0
-        except Exception:
-            pass  # first batch — no meta yet
-        from websearchengine_spark.operators.docids import assign_doc_ids
-
-        with_ids = assign_doc_ids(
-            batch_df, order_cols=("conv_id", "turn_idx"), id_col="batch_row"
-        ).withColumn("doc_id", F.col("batch_row") + F.lit(id_lo)).drop("batch_row")
-        n = with_ids.count()
-        (
-            with_ids.write.mode("overwrite")
-            .parquet(os.path.join(staging_dir, "turns", f"batch={batch_id}"))
-        )
-        spark.createDataFrame(
-            [(int(batch_id), int(n), int(id_lo), int(id_lo + n - 1))],
-            "batch_id long, n_turns long, id_lo long, id_hi long",
-        ).write.mode("append").parquet(meta_path)
-
+    a replayed batch reuses its recorded id_lo and overwrites its own batch
+    + meta directories (see :func:`make_batch_writer`)."""
     writer = (
-        stream.writeStream.foreachBatch(write_batch)
+        stream.writeStream.foreachBatch(make_batch_writer(staging_dir))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
