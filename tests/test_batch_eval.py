@@ -69,3 +69,18 @@ def test_batch_mrr_matches_driver_loop(spark, index_dir, queries_df):
     expected = reader.mrr_at([(q, t) for q, t in rows if q in qrels], qrels, n=10)
     assert row["n_queries"] == len(qrels)
     assert math.isclose(row["mrr"], round(expected, 6), abs_tol=1.5e-6)
+
+
+def test_partition_by_term_is_output_invariant(spark, index_dir, queries_df):
+    qdf, _rows = queries_df
+    a = sorted(
+        tuple(r)
+        for r in batch_search(qdf, index_dir, conjunctive=True, k=10,
+                              num_partitions=4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in batch_search(qdf, index_dir, conjunctive=True, k=10,
+                              num_partitions=4, partition_by_term=True).collect()
+    )
+    assert a == b

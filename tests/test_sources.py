@@ -67,11 +67,14 @@ def test_tsv_queries_qrels(spark, tmp_path):
     qpath = tmp_path / "queries.tsv"
     qpath.write_text("1\tspark query\n2\thash join\n")
     rpath = tmp_path / "qrels.tsv"
-    rpath.write_text("1\t0\t42\t1\n1\t0\t43\t0\n2\t0\t7\t1\n")
+    # query 1: relevance-0 row dropped; query 2: duplicate relevant rows →
+    # file-order LAST wins (reference hash-map overwrite,
+    # evaluation.cpp:677-694) even when the later doc_id is smaller
+    rpath.write_text("1\t0\t42\t1\n1\t0\t43\t0\n2\t0\t7\t1\n2\t0\t3\t1\n")
     qs = {r["query_id"]: r["query"] for r in read_queries(spark, str(qpath)).collect()}
     assert qs == {1: "spark query", 2: "hash join"}
     rel = {r["query_id"]: r["rel_doc"] for r in read_qrels(spark, str(rpath)).collect()}
-    assert rel == {1: 42, 2: 7}  # relevance-0 row dropped
+    assert rel == {1: 42, 2: 3}
 
 
 # ---------------------------------------------------------------------------

@@ -62,7 +62,10 @@ def vb_decode(buf: bytes) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
-    ends = np.nonzero(b & 0x80)[0]
+    high = b & 0x80
+    if high.all():  # every value single-byte (common for tfs/small gaps):
+        return (b & np.uint8(0x7F)).astype(np.uint64)
+    ends = np.nonzero(high)[0]
     starts = np.concatenate(([0], ends[:-1] + 1))
     n = ends.size
     out = np.zeros(n, dtype=np.uint64)

@@ -44,13 +44,26 @@ def batch_search(
     conjunctive: bool = True,
     k: int = 10,
     num_partitions: int | None = None,
+    partition_by_term: bool = False,
     **reader_kwargs,
 ) -> DataFrame:
     """(query_id, query) → (query_id, rank, doc_id, score), evaluated by
     executor-local serving engines. Rank-identical to driver-side
-    ``BlockIndexReader.search`` (same code runs in the workers)."""
+    ``BlockIndexReader.search`` (same code runs in the workers).
+
+    ``partition_by_term`` co-locates queries sharing a leading term: each
+    worker then cold-decodes a term's postings at most once instead of
+    every worker paying the full hot-term fetch (the reference's single
+    shared posting cache, evaluation.cpp:84-121, recreated as per-worker
+    caches with term-affinity routing). Output is partitioning-invariant."""
     q = queries.select("query_id", "query")
-    if num_partitions is not None:
+    if partition_by_term:
+        key = F.element_at(F.split(F.trim(F.lower("query")), "[^a-z0-9]+"), 1)
+        if num_partitions is not None:
+            q = q.repartition(num_partitions, key)
+        else:
+            q = q.repartition(key)
+    elif num_partitions is not None:
         q = q.repartition(num_partitions)
 
     def eval_partition(batches):

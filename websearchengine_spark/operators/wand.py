@@ -198,6 +198,14 @@ class BlockIndexReader:
         # above it, block-max WAND can skip whole blocks without decoding
         self.taat_threshold = taat_threshold
         self.dense_docs_max = dense_docs_max
+        # warm the pyarrow scan machinery once (thread pools, filesystem,
+        # codec init): the reference's startup similarly pre-loads its
+        # lexicon/page table (main.cpp:338-373) — without this the FIRST
+        # query pays ~100+ ms of one-time infrastructure cost that has
+        # nothing to do with query evaluation
+        if self._lex_ds is not None:
+            self._lex_ds.head(1)
+            self._blocks_ds.head(1)
 
     # ---- index access -----------------------------------------------------
     def lexicon_rows(self, terms: list[str]) -> dict[str, int]:

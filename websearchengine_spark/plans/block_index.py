@@ -135,10 +135,14 @@ def _make_stream_encoder(avg_dl: float, block_size: int, n_buckets: int):
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
         terms = pdf["term"].to_numpy()
-        salts = pdf["salt"].to_numpy()
+        salts = pdf["salt"].to_numpy(dtype=np.int64)
         n = len(ids)
-        # group starts: (term, salt) change points (input sorted)
-        gchg = np.nonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))[0] + 1
+        # group starts: (term, salt) change points (input sorted). Term
+        # equality via factorize codes — elementwise != on an object array
+        # is a Python-level compare per row, which at ~10k rows/batch ×
+        # thousands of batches dominates single-core encode time
+        tcodes = pd.factorize(terms, sort=False)[0]
+        gchg = np.nonzero((tcodes[1:] != tcodes[:-1]) | (salts[1:] != salts[:-1]))[0] + 1
         gstarts = np.concatenate(([0], gchg))
         gsizes = np.diff(np.concatenate((gstarts, [n])))
         # block boundaries: every block_size rows WITHIN a group
@@ -184,8 +188,8 @@ def _make_stream_encoder(avg_dl: float, block_size: int, n_buckets: int):
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if len(pdf) == 0:
                 continue
-            t = pdf["term"].to_numpy()
-            s = pdf["salt"].to_numpy()
+            t = pd.factorize(pdf["term"].to_numpy(), sort=False)[0]
+            s = pdf["salt"].to_numpy(dtype=np.int64)
             # first row of the trailing (term, salt) group → carry it over
             cut = int(np.argmax((t == t[-1]) & (s == s[-1])))
             head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
@@ -352,14 +356,24 @@ def build_block_index(
         # written with small row groups so the serving reader's predicate
         # pushdown prunes to the few row groups holding the query terms
         # (parquet min/max stats on `term`) instead of scanning the bucket.
-        (
-            blocks.repartition("bucket")
-            .sortWithinPartitions("term", "doc_lo")
-            .write.partitionBy("bucket")
-            .option("parquet.block.size", str(1 << 20))
-            .mode("overwrite")
-            .parquet(paths.blocks)
-        )
+        # Posting rows are ~40 bytes — large Arrow batches amortize the
+        # per-batch carry/split overhead of the streaming encoder (the
+        # tokenize stage upstream is already materialized in the cache, so
+        # this setting only shapes the encoder's input batches).
+        batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prev_batch = spark.conf.get(batch_key, "10000")
+        spark.conf.set(batch_key, str(1 << 17))
+        try:
+            (
+                blocks.repartition("bucket")
+                .sortWithinPartitions("term", "doc_lo")
+                .write.partitionBy("bucket")
+                .option("parquet.block.size", str(1 << 20))
+                .mode("overwrite")
+                .parquet(paths.blocks)
+            )
+        finally:
+            spark.conf.set(batch_key, prev_batch)
 
     # ---- per-partition (bucket) checkpoints with lineage + metrics
     wall_s = time.time() - t0

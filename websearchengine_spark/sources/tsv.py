@@ -3,8 +3,11 @@
 `read_queries` (evaluation.cpp:662-675): lines of `query_id \\t query`.
 `read_relevance` (evaluation.cpp:677-694): MS-MARCO qrels
 `query_id \\t 0 \\t doc_id \\t relevance` — the reference keeps one relevant
-doc per query (hash-map overwrite on duplicate query_id; reproduced with a
-max aggregation for determinism instead of file-order last-wins).
+doc per query via hash-map overwrite, i.e. FILE-ORDER LAST-WINS on duplicate
+query_ids. Reproduced exactly: max_by(doc_id, file_position), where
+file_position = monotonically_increasing_id() — monotone in file order
+because it encodes (partition_index, row_in_partition) and CSV splits of one
+file are ordered by partition index.
 """
 
 from __future__ import annotations
@@ -26,9 +29,9 @@ def read_qrels(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.csv(
         path, sep="\t",
         schema="query_id long, zero int, doc_id long, relevance int",
-    )
+    ).withColumn("_pos", F.monotonically_increasing_id())
     return (
         raw.filter(F.col("relevance") > 0)
         .groupBy("query_id")
-        .agg(F.max("doc_id").alias("rel_doc"))
+        .agg(F.max_by("doc_id", "_pos").alias("rel_doc"))
     )
