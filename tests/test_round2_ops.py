@@ -1,0 +1,141 @@
+"""Round-2 widening: debug txt index dump (reference `txt` format),
+event-log windowing/sessionization, BPE-ish token stats, and the
+serving-side semantic service (no-Spark dense retrieval + rerank)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# debug txt index (create_index.cpp:67-72, merge_index.cpp:169-191)
+
+def test_index_txt_roundtrip_matches_oracle(spark, fixture, oracle, tmp_path):
+    from websearchengine_spark.operators.wand import BlockIndexReader
+    from websearchengine_spark.plans.block_index import build_block_index
+    from websearchengine_spark.sources.index_txt import dump_index_txt, read_index_txt
+
+    tdf = spark.createDataFrame(fixture.transcripts)
+    out = str(tmp_path / "idx")
+    build_block_index(tdf, out, resume=False, n_buckets=4, num_partitions=4,
+                      block_size=16)
+    reader = BlockIndexReader(out)
+    ids_p, freqs_p = str(tmp_path / "ids.txt"), str(tmp_path / "freqs.txt")
+    n = dump_index_txt(reader, ids_p, freqs_p, store_diff=True)
+    assert n == len(oracle.postings)
+    # first line is the lexicographically first term, delta-encoded
+    first = open(ids_p).readline().split()
+    assert first[0] == min(oracle.postings)
+    parsed = read_index_txt(ids_p, freqs_p, store_diff=True)
+    assert parsed == oracle.postings  # exact postings content round-trip
+
+
+# ---------------------------------------------------------------------------
+# event-log analytics
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = []
+    eid = 0
+    # user 1: two sessions split by a 45-min gap; user 2: one session
+    for mins in (0, 5, 10, 55, 60):
+        rows.append((eid, base + dt.timedelta(minutes=mins), 1, "click", 1.5)); eid += 1
+    for mins in (0, 20):
+        rows.append((eid, base + dt.timedelta(minutes=mins), 2, "view", 2.0)); eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_user_sessions_gap_split(events_df):
+    from websearchengine_spark.pipeline.events import user_sessions
+
+    out = {
+        (r["user_id"], r["session_idx"]): r["n_events"]
+        for r in user_sessions(events_df, gap_minutes=30).collect()
+    }
+    assert out == {(1, 0): 3, (1, 1): 2, (2, 0): 2}
+
+
+def test_windowed_stats_buckets(events_df):
+    from websearchengine_spark.pipeline.events import windowed_stats
+
+    out = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in windowed_stats(events_df, window="1 hour").collect()
+    }
+    assert out[(10, "click")] == (4, 6.0)   # 10:00,10:05,10:10,10:55
+    assert out[(11, "click")] == (1, 1.5)   # 11:00
+    assert out[(10, "view")] == (2, 4.0)
+
+
+def test_bpe_token_stats(spark):
+    from websearchengine_spark.pipeline.textstats import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(0, "Hello, world42!"), (1, ""), (2, "aaa aaa bbb")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_pieces"], r["n_unique_pieces"])
+           for r in bpe_token_stats(docs).collect()}
+    # "hello" "," "world" "42" "!" → 5 pieces, all distinct
+    assert out[0] == (5, 5)
+    assert out[1] == (0, 0)
+    assert out[2] == (3, 2)
+
+
+# ---------------------------------------------------------------------------
+# serving-side semantic service
+
+def test_semantic_service_matches_dataframe_plans(spark, tmp_path):
+    from websearchengine_spark.operators.semantic import (
+        encode_texts_udf, rerank, semantic_topk,
+    )
+    from websearchengine_spark.operators.semantic_service import SemanticService
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
+    svc = SemanticService(emb_path)
+    queries = [(0, "spark query"), (1, "the data")]
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    enc = encode_texts_udf(dim=svc.dim)
+    qv = qdf.select("query_id", enc(F.col("query")).alias("qv"))
+
+    expected = semantic_topk(emb, qv, k=10).collect()
+    by_q = {}
+    for r in expected:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["cosine"])
+        )
+    for qid, q in queries:
+        got = svc.search(q, k=10)
+        assert got == sorted(by_q[qid])  # bit-identical (sequential fold)
+
+    # rerank parity on a fixed candidate set
+    cands = [5, 17, 3, 42, 8]
+    cdf = spark.createDataFrame(
+        [(0, d) for d in cands], "query_id long, doc_id long"
+    )
+    exp_rr = sorted(
+        (r["rank"], r["doc_id"], r["cosine"])
+        for r in rerank(cdf, emb, qv.filter(F.col("query_id") == 0), k=5).collect()
+    )
+    assert svc.rerank("spark query", cands, k=5) == exp_rr
+
+
+def test_semantic_service_model_swap():
+    from websearchengine_spark.operators.semantic_service import SemanticService
+
+    class Dummy:
+        def encode(self, texts):
+            return [[1.0] * 64 for _ in texts]
+
+    svc = SemanticService("/root/testdata/sf0.001/embeddings.parquet", encoder=Dummy())
+    v = svc.encode("anything")
+    assert v.shape == (64,) and np.all(v == 1.0)
+    assert len(svc.search("anything", k=3)) == 3

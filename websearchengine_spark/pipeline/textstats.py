@@ -115,3 +115,25 @@ def fingerprint(docs: DataFrame, k: int = 3) -> DataFrame:
             lambda acc, h: acc + h.bitwiseAND(F.lit(MASK40)),
         ).alias("fp_sum"),
     )
+
+
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+# ^ subword-style pre-tokenization over lowered text: letter runs, digit
+#   runs, and single non-alnum marks — the GPT-2-style pre-tokenizer shape
+#   minus lookaheads (RE2, the oracle's engine, has none). Disjoint
+#   branches, so alternation-order semantics cannot differ across engines.
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting (the training-data cost estimator): counts of
+    pre-tokenizer pieces and distinct pieces under :data:`BPE_ISH_PATTERN`.
+    (doc_id, n_pieces, n_unique_pieces). JVM regexp_extract_all — zero
+    Python, narrow map."""
+    pieces = F.expr(
+        f"regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}', 0)"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_unique_pieces"),
+    )

@@ -33,6 +33,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -118,6 +122,65 @@ SELECT doc_id, n_shingles,
        COALESCE(list_aggregate(hs, 'min'), -1)::BIGINT AS fp_min,
        COALESCE(list_aggregate(list_transform(hs, x -> x & {MASK40}), 'sum'), 0)::BIGINT AS fp_sum
 FROM h
+"""
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    return textstats.bpe_token_stats(_docs(spark, sf_dir))
+
+
+SQL_BPE_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{textstats.BPE_ISH_PATTERN}'))::BIGINT AS n_pieces,
+       len(list_distinct(regexp_extract_all(lower(text), '{textstats.BPE_ISH_PATTERN}')))::BIGINT AS n_unique_pieces
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-log analytics (events table)
+
+def q_windowed_stats(spark, sf_dir):
+    from websearchengine_spark.pipeline.events import windowed_stats
+
+    return windowed_stats(_events(spark, sf_dir), window="1 hour")
+
+
+# hourly buckets align identically in both engines (Spark windows are
+# epoch-aligned; DuckDB time_bucket's 2000-01-03 origin is hour-aligned)
+SQL_WINDOWED_STATS = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(list_aggregate(list(value ORDER BY event_id), 'sum'), 6) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_user_sessions(spark, sf_dir):
+    from websearchengine_spark.pipeline.events import user_sessions
+
+    return user_sessions(_events(spark, sf_dir), gap_minutes=30)
+
+
+SQL_USER_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+idx AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*)::BIGINT AS n_events
+FROM idx GROUP BY user_id, session_idx
 """
 
 
@@ -570,6 +633,9 @@ def pipeline_entries() -> dict[str, tuple]:
         "ts_quality_score": (q_quality_score, SQL_QUALITY),
         "ts_lang_id": (q_lang_id, _sql_lang_id()),
         "ts_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        "ts_bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
+        "ev_windowed_stats": (q_windowed_stats, SQL_WINDOWED_STATS),
+        "ev_user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
         "dd_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "dd_ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "dd_minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGS),
