@@ -68,12 +68,25 @@ def vb_decode(buf: bytes) -> np.ndarray:
     ends = np.nonzero(high)[0]
     starts = np.concatenate(([0], ends[:-1] + 1))
     n = ends.size
-    out = np.zeros(n, dtype=np.uint64)
-    lengths = ends - starts + 1
-    for k in range(int(lengths.max())):
-        sel = lengths > k
-        grp = (b[starts[sel] + k] & 0x7F).astype(np.uint64)
-        out[sel] |= grp << np.uint64(7 * k)
+    lengths = ends - starts
+    out = np.empty(n, dtype=np.uint64)
+    # dominant shape: almost all values 1 byte (tf=1 / gap-of-1 runs) with
+    # rare multi-byte values (block-head absolute ids). One gather handles
+    # the short values; the per-group loop runs only over the long subset
+    # (the old loop re-masked and re-gathered ALL n values per group —
+    # ~10x slower on delta-encoded dense posting lists).
+    short = lengths == 0
+    out[short] = b[starts[short]] & np.uint8(0x7F)
+    long_idx = np.nonzero(~short)[0]
+    if long_idx.size:
+        lstarts = starts[long_idx]
+        llen = lengths[long_idx] + 1
+        acc = np.zeros(long_idx.size, dtype=np.uint64)
+        for k in range(int(llen.max())):
+            sel = llen > k
+            grp = (b[lstarts[sel] + k] & 0x7F).astype(np.uint64)
+            acc[sel] |= grp << np.uint64(7 * k)
+        out[long_idx] = acc
     return out
 
 

@@ -230,18 +230,32 @@ class BlockIndexReader:
         if missing:
             buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
             flt = (ds.field("bucket").isin(buckets)) & (ds.field("term").isin(missing))
-            tbl = self._blocks_ds.to_table(filter=flt).to_pylist()
-            grouped: dict[str, list[_Block]] = {t: [] for t in missing}
-            for r in tbl:
-                grouped[r["term"]].append(
-                    _Block(
-                        r["doc_lo"], r["doc_hi"], r["n"],
-                        r["ids_vb"], r["tfs_vb"], r["dls_vb"],
-                        r["max_tfc"], r["min_tfc"],
-                    )
-                )
+            tbl = self._blocks_ds.to_table(filter=flt)
+            # columnar extraction — per-row dicts (to_pylist) cost ~10 µs a
+            # row, which at 30k blocks/term for a dense 5M-doc term is
+            # seconds of pure conversion
+            tcol = tbl.column("term").to_pylist()
+            lo = tbl.column("doc_lo").to_numpy()
+            hi = tbl.column("doc_hi").to_numpy()
+            ns = tbl.column("n").to_numpy()
+            ids_vb = tbl.column("ids_vb").to_pylist()
+            tfs_vb = tbl.column("tfs_vb").to_pylist()
+            dls_vb = tbl.column("dls_vb").to_pylist()
+            mx = tbl.column("max_tfc").to_numpy()
+            mn = tbl.column("min_tfc").to_numpy()
+            per: dict[str, list[int]] = {t: [] for t in missing}
+            for i, t in enumerate(tcol):
+                per[t].append(i)
             for t in missing:
-                blks = sorted(grouped.get(t, []), key=lambda b: b.doc_lo)
+                idxs = sorted(per.get(t, []), key=lambda i: lo[i])
+                blks = [
+                    _Block(
+                        int(lo[i]), int(hi[i]), int(ns[i]),
+                        ids_vb[i], tfs_vb[i], dls_vb[i],
+                        float(mx[i]), float(mn[i]),
+                    )
+                    for i in idxs
+                ]
                 self._posting_cache.put(("blk", t), blks)
         return {t: self._posting_cache.get_(("blk", t)) or [] for t in terms}
 
@@ -336,12 +350,17 @@ class BlockIndexReader:
         taat_cost = total_df * 2.5e-8 + (
             self.n_docs * 1e-8 if self._flat_ok(total_df) else total_df * 6e-8
         )
-        if conjunctive and gallop_cost < taat_cost:
-            path = "gallop"
+        if conjunctive:
+            # gallop iff the rarest list is small enough that Python-loop
+            # candidate stepping beats decoding every posting; a dense
+            # conjunction (min_df in the millions) MUST go vectorized —
+            # an unconditional gallop above the TAAT threshold measured
+            # 45-55 s/query on a 5M-doc dense corpus
+            path = "gallop" if gallop_cost < taat_cost else "taat"
         elif total_df <= self.taat_threshold:
             path = "taat"
         else:
-            path = "gallop" if conjunctive else "wand"
+            path = "wand"
         if path == "taat":
             out = self._search_taat(present, lex, k, conjunctive)
         elif path == "wand":
