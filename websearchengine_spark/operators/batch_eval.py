@@ -72,7 +72,7 @@ def batch_search(
             qids, ranks, docs, scores = [], [], [], []
             for qid, text in zip(pdf["query_id"], pdf["query"]):
                 for rank, d, s in reader.search(
-                    text, conjunctive=conjunctive, k=k
+                    text or "", conjunctive=conjunctive, k=k
                 ):
                     qids.append(qid)
                     ranks.append(rank)

@@ -21,6 +21,9 @@ def read_queries(spark: SparkSession, path: str) -> DataFrame:
     return (
         spark.read.csv(path, sep="\t", schema="query_id long, query string")
         .filter(F.col("query_id").isNotNull())
+        # an empty query line parses as NULL; the reference keeps it as the
+        # empty string (zero-result query), so coalesce rather than drop
+        .select("query_id", F.coalesce("query", F.lit("")).alias("query"))
     )
 
 
