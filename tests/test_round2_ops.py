@@ -139,3 +139,34 @@ def test_semantic_service_model_swap():
     v = svc.encode("anything")
     assert v.shape == (64,) and np.all(v == 1.0)
     assert len(svc.search("anything", k=3)) == 3
+
+
+# ---------------------------------------------------------------------------
+# materialized ANN index + serving
+
+def test_ann_index_service_matches_dataframe_plan(spark, tmp_path):
+    from websearchengine_spark.operators.ann_service import AnnService
+    from websearchengine_spark.pipeline.similarity import ann_lsh_topk
+    from websearchengine_spark.plans.ann_index import build_ann_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = str(tmp_path / "ann")
+    meta = build_ann_index(emb, out, n_planes=8)
+    assert meta["n_vectors"] == emb.count() and meta["dim"] == 64
+
+    expected: dict[int, list] = {}
+    for r in ann_lsh_topk(emb, n_queries=5, k=10, n_planes=8).collect():
+        expected.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"])
+        )
+    svc = AnnService(out)
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id < 5").collect()
+    }
+    import numpy as np
+
+    for qid, vec in qvecs.items():
+        got = svc.search_vector(np.array(vec, dtype=np.float64), k=10,
+                                exclude_id=qid)
+        assert got == sorted(expected.get(qid, [])), qid  # bit-identical

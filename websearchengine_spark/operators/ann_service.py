@@ -1,0 +1,84 @@
+"""Serving-side ANN over the LSH-bucketed vector index (plans/ann_index.py)
+— no Spark session: a query reads EXACTLY its signature's partition
+(hive-pruned parquet) and exact-cosine-ranks inside the bucket.
+
+Exactness contract: the signature is the same fixed-point ±1-hyperplane
+integer matmul the Spark build uses (identical md5-parity constants, exact
+integer arithmetic), and cosines fold sequentially (cumsum — see
+operators/semantic_service.py), so results are BIT-identical to the
+DataFrame plan ``pipeline/similarity.ann_lsh_topk`` for the same query
+vector. Recall vs brute force is the LSH trade by design.
+
+Scale: per-query IO is one bucket (~n_vectors / 2^n_planes rows). Bucket
+LRU caching plays the posting-cache role for repeated/hot buckets.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.dataset as ds
+import pyarrow.parquet as pq
+
+from websearchengine_spark.pipeline.similarity import plane_signs
+
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.cumsum(a * b, axis=1)[:, -1]
+
+
+class AnnService:
+    def __init__(self, root: str, bucket_cache: int = 64):
+        meta = pq.read_table(os.path.join(root, "meta")).to_pylist()[0]
+        self.dim = int(meta["dim"])
+        self.n_planes = int(meta["n_planes"])
+        self.fixed_point = int(meta["fixed_point"])
+        self._ds = ds.dataset(os.path.join(root, "vectors"), partitioning="hive")
+        self._signs = plane_signs(self.n_planes, self.dim)
+        self._shifts = np.arange(self.n_planes, dtype=np.int64)
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._cache_cap = bucket_cache
+
+    def signature(self, qv: np.ndarray) -> int:
+        """Same fixed-point rounding the JVM expression applies: ROUND half
+        away from zero on v*10^4, then the exact integer matmul."""
+        scaled = qv * self.fixed_point
+        fx = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+        dots = fx @ self._signs
+        return int(((dots > 0).astype(np.int64) << self._shifts).sum())
+
+    def _bucket(self, sig: int):
+        if sig in self._cache:
+            return self._cache[sig]
+        tbl = self._ds.to_table(filter=ds.field("sig") == sig)
+        ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+        mat = (
+            np.array(tbl.column("v").to_pylist(), dtype=np.float64)
+            if tbl.num_rows
+            else np.zeros((0, self.dim))
+        )
+        norms = _seq_dot(mat, mat) if len(mat) else np.zeros(0)
+        if len(self._cache) >= self._cache_cap:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[sig] = (ids, mat, norms)
+        return self._cache[sig]
+
+    def search_vector(
+        self, qv: np.ndarray, k: int = 10, exclude_id: int | None = None
+    ) -> list[tuple[int, int, float]]:
+        """[(rank, vec_id, cosine)] over the query's bucket, ranked by
+        (ROUND(cosine,6) DESC, vec_id ASC) — ann_lsh_topk's exact rules."""
+        qv = np.asarray(qv, dtype=np.float64)
+        ids, mat, norms = self._bucket(self.signature(qv))
+        if exclude_id is not None:
+            keep = ids != exclude_id
+            ids, mat, norms = ids[keep], mat[keep], norms[keep]
+        if len(ids) == 0:
+            return []
+        nq = float(np.cumsum(qv * qv)[-1])
+        dots = _seq_dot(mat, np.broadcast_to(qv, mat.shape))
+        cos = np.where((nq > 0) & (norms > 0), dots / np.sqrt(nq * norms), 0.0)
+        cos = np.round(cos, 6)
+        sel = np.lexsort((ids, -cos))[: min(k, len(ids))]
+        return [(i + 1, int(ids[j]), float(cos[j])) for i, j in enumerate(sel)]
