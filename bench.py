@@ -43,7 +43,10 @@ REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "96"))
 # separate cluster NODES do not, so low N is the faithful stand-in for
 # N vs 4N executors. Input sized so compute dominates fixed per-job latency.
 SCALING_N = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_N", "1"))
-SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REPLICATE", "288"))
+# 192 (≈ 960k turns): big enough that compute dominates fixed per-job cost
+# at every level, small enough that the taskset-pinned 1-core phase (see
+# _run_phase_subprocess) keeps the whole bench under ~20 min
+SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REPLICATE", "192"))
 # per-parallelism trials; best-of-N isolates machine capability from
 # sandbox noise (CI neighbors, GC timing) — both levels get the same N
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
