@@ -47,6 +47,18 @@ def windowed_stats(events: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+def props_extract(events: DataFrame) -> DataFrame:
+    """JSON scalar extraction from the semi-structured ``props`` column:
+    (event_id, k) with k = props.$.k as a long (NULL when absent/invalid).
+    JVM get_json_object — no Python; the DuckDB oracle uses json_extract.
+    The training-data shape: metadata riding as JSON strings beside typed
+    columns, projected without exploding or schema-on-write."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
 def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Inactivity-gap sessionization: a new session starts when the gap to
     the user's previous event exceeds ``gap_minutes``.

@@ -156,6 +156,17 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_props_extract(spark, sf_dir):
+    from websearchengine_spark.pipeline.events import props_extract
+
+    return props_extract(_events(spark, sf_dir))
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_id, (json_extract(props, '$.k'))::BIGINT AS k FROM events
+"""
+
+
 def q_user_sessions(spark, sf_dir):
     from websearchengine_spark.pipeline.events import user_sessions
 
@@ -636,6 +647,7 @@ def pipeline_entries() -> dict[str, tuple]:
         "ts_bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
         "ev_windowed_stats": (q_windowed_stats, SQL_WINDOWED_STATS),
         "ev_user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+        "ev_props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
         "dd_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "dd_ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "dd_minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGS),
