@@ -264,10 +264,14 @@ def _run_phase_subprocess(cores: int, tag: str, replicate: int) -> dict:
     like an executor with exactly N cores — the cluster resource model the
     north rule's criterion assumes."""
     import json as _json
+    import shutil as _shutil
     import subprocess
     import sys
 
     cpu_list = ",".join(str(c) for c in sorted(os.sched_getaffinity(0))[:cores])
+    pin = (
+        ["taskset", "-c", cpu_list] if _shutil.which("taskset") else []
+    )  # unpinned fallback keeps the bench alive on hosts without util-linux
     with tempfile.NamedTemporaryFile("r", suffix=".json") as f:
         code = (
             "import json, bench\n"
@@ -277,7 +281,7 @@ def _run_phase_subprocess(cores: int, tag: str, replicate: int) -> dict:
             f"json.dump(results, open({f.name!r}, 'w'))\n"
         )
         subprocess.run(
-            ["taskset", "-c", cpu_list, sys.executable, "-c", code],
+            pin + [sys.executable, "-c", code],
             cwd=os.path.dirname(os.path.abspath(__file__)),
             check=True,
             stdout=sys.stderr,
