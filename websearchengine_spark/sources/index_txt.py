@@ -25,8 +25,6 @@ def dump_index_txt(
     Debug-only by design: this decodes the whole index on the driver —
     never a production path (the reference's txt type is likewise a
     debugging aid)."""
-    import pyarrow.dataset as ds
-
     terms = sorted(
         reader._lex_ds.to_table(columns=["term"]).column("term").to_pylist()
     ) if reader._lex_ds is not None else []
