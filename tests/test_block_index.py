@@ -214,3 +214,38 @@ def test_hot_term_salt_scales_to_wide_vocab(spark, tmp_path_factory):
     # a rare term: present in exactly its one source doc (doc 1)
     arrays = reader._fetch_arrays(["t000100"])
     assert list(arrays["t000100"][0]) == [1]
+
+
+def test_wand_block_pruning_engages_on_tf_skew(spark, tmp_path_factory):
+    """Block-max pruning must actually PRUNE when block maxima vary: a
+    corpus whose hot-term tf varies at block granularity lets θ (the k-th
+    best score) exceed most blocks' upper bounds after the first batch, so
+    WAND decodes a small fraction of the postings. Deterministic check via
+    the scored-postings counter — no wall-clock flakiness."""
+    import pandas as pd
+
+    # "hot" in a QUARTER of the docs: df must sit well under N/2 — at
+    # df == N the IDF is negative (bounds clamp to 0, nothing prunable by
+    # semantics) and at df == N/2 it is exactly 0 (all scores 0, all ties);
+    # tf constant over 256-doc spans so block maxima vary across blocks
+    n_docs, bs = 32768, 16
+    rows = []
+    for d in range(n_docs):
+        toks = [f"u{d:05d}"]
+        if d % 4 == 0:
+            toks = ["hot"] * (1 + (d // 256) % 64) + toks
+        rows.append(("c", d, "user", " ".join(toks), None, None))
+    tdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = str(tmp_path_factory.mktemp("tfskew"))
+    build_block_index(tdf, out, resume=False, n_buckets=4, num_partitions=4,
+                      block_size=bs, hot_df_threshold=10**9)
+    wand = BlockIndexReader(out, taat_threshold=0, dense_docs_max=0)
+    taat = BlockIndexReader(out)
+    got = wand.search("hot", conjunctive=False, k=10)
+    exp = taat.search("hot", conjunctive=False, k=10)
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exp]
+    df_hot = n_docs // 4
+    assert wand.last_wand_scored < 0.25 * df_hot, wand.last_wand_scored

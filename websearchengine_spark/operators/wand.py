@@ -510,6 +510,7 @@ class BlockIndexReader:
         decoded: list[dict] = [dict() for _ in metas]
         pos = 0
         budget = float(max(64 * k, 1024))
+        scored_postings = 0  # instrumentation: how much pruning bought
         while pos < n_int:
             theta = heap[0][0] if len(heap) == k else -math.inf
             if ub_sorted[pos] < theta:
@@ -563,6 +564,7 @@ class BlockIndexReader:
                     gathered.append((ids[keep], co[keep]))
             if not gathered:
                 continue
+            scored_postings += sum(len(ids) for ids, _ in gathered)
             cand = np.unique(np.concatenate([ids for ids, _ in gathered]))
             acc = np.zeros(len(cand))
             for ids, co in gathered:  # sorted-term order = oracle float order
@@ -572,6 +574,9 @@ class BlockIndexReader:
                 cand, acc = cand[m], acc[m]
             for d, s in zip(cand.tolist(), acc.tolist()):
                 self._push(heap, k, s, d)
+        # exposed for tests/diagnostics: postings actually decoded+scored
+        # vs the query's total df — the measure of block-max pruning
+        self.last_wand_scored = scored_postings
         ranked = sorted(((-s, -nd) for s, nd in heap))
         return [(i + 1, d, -negs) for i, (negs, d) in enumerate(ranked)]
 
