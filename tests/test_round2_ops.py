@@ -170,3 +170,34 @@ def test_ann_index_service_matches_dataframe_plan(spark, tmp_path):
         got = svc.search_vector(np.array(vec, dtype=np.float64), k=10,
                                 exclude_id=qid)
         assert got == sorted(expected.get(qid, [])), qid  # bit-identical
+
+
+def test_index_bin_roundtrip_matches_oracle(spark, fixture, oracle, tmp_path):
+    """The reference's raw-u32 `bin` interchange format: random-access via
+    the lexicon offsets (fseek analogue) round-trips the exact postings."""
+    from websearchengine_spark.operators.wand import BlockIndexReader
+    from websearchengine_spark.plans.block_index import build_block_index
+    from websearchengine_spark.sources.index_txt import (
+        dump_index_bin, read_index_bin,
+    )
+
+    tdf = spark.createDataFrame(fixture.transcripts)
+    out = str(tmp_path / "idx")
+    build_block_index(tdf, out, resume=False, n_buckets=4, num_partitions=4,
+                      block_size=16)
+    reader = BlockIndexReader(out)
+    paths = [str(tmp_path / p) for p in ("ids.bin", "freqs.bin", "storage.txt")]
+    n = dump_index_bin(reader, *paths, store_diff=True)
+    assert n == len(oracle.postings)
+    assert read_index_bin(*paths, store_diff=True) == oracle.postings
+    # lexicon offsets support random access to a single term (main.cpp
+    # fseek shape): read one mid-lexicon term in isolation
+    with open(paths[2]) as f:
+        lines = f.read().splitlines()
+    term, ids_off, freqs_off, cnt = lines[len(lines) // 2].split()
+    import numpy as np
+
+    with open(paths[0], "rb") as f:
+        f.seek(int(ids_off))
+        ids = np.cumsum(np.frombuffer(f.read(4 * int(cnt)), dtype="<u4"))
+    assert sorted(int(i) for i in ids) == sorted(oracle.postings[term])
