@@ -23,6 +23,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+QUERY_TYPES = ["conjunctive", "disjunctive", "semantic", "rerank"]
+
 
 def _print_result(result: dict, query_type: str) -> None:
     # the reference's REPL formatting (main.cpp:962-994)
@@ -54,70 +56,44 @@ def _print_result(result: dict, query_type: str) -> None:
             print()
 
 
-def run_query(engines: dict, query: str, args) -> dict:
-    reader = engines["reader"]
-    svc = engines.get("snippets")
-    if args.query_type in ("conjunctive", "disjunctive"):
-        return reader.search_full(
-            query,
-            conjunctive=args.query_type == "conjunctive",
-            n_results=args.n_results,
-            snippet_len=args.snippet_len,
-            snippets=svc,
-        )
-    sem = engines["semantic"]
-    if args.query_type == "semantic":
-        ranked = sem.search(query, k=args.n_results)
-    else:  # rerank: BM25 conjunctive candidates → cosine re-score
-        cands = [d for _, d, _ in reader.search(query, conjunctive=True, k=100)]
-        ranked = sem.rerank(query, cands, k=args.n_results)
-    data = []
-    meta = svc.meta_for([d for _, d, _ in ranked]) if svc is not None else {}
-    for rank, d, score in ranked:
-        item = {"rank": rank, "score": score}
-        item.update(meta.get(d, {}))
-        data.append(item)
-    # transformer-mode responses carry no freqs and count == returned
-    # (main.cpp: semantic results report only the ranked list)
-    return {"cached": False, "time": 0.0, "count": len(data), "data": data}
-
-
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--index", required=True)
     p.add_argument("--transcripts")
     p.add_argument("--embeddings")
-    p.add_argument("--query-type", default="conjunctive",
-                   choices=["conjunctive", "disjunctive", "semantic", "rerank"])
+    p.add_argument("--query-type", default="conjunctive", choices=QUERY_TYPES)
     p.add_argument("--n-results", type=int, default=10)
     p.add_argument("--snippet-len", type=int, default=120)
     p.add_argument("--query")
     args = p.parse_args(argv)
 
-    from websearchengine_spark.operators.wand import BlockIndexReader
+    from websearchengine_spark.operators.query_api import QueryType
+    from websearchengine_spark.operators.serving import ServingEngine
 
-    engines: dict = {"reader": BlockIndexReader(args.index)}
-    if args.transcripts:
-        from websearchengine_spark.operators.snippets import SnippetService
-
-        engines["snippets"] = SnippetService(
-            os.path.join(args.index, "doc_stats"), args.transcripts
-        )
-    if args.embeddings:
-        from websearchengine_spark.operators.semantic_service import SemanticService
-
-        engines["semantic"] = SemanticService(args.embeddings)
-    if args.query_type in ("semantic", "rerank") and "semantic" not in engines:
+    qtype = QueryType(QUERY_TYPES.index(args.query_type))
+    if qtype in (QueryType.SEMANTIC, QueryType.RERANKING) and not args.embeddings:
         p.error("--embeddings is required for semantic/rerank query types")
+    engine = ServingEngine(
+        args.index,
+        transcripts_path=args.transcripts,
+        embeddings_path=args.embeddings,
+    )
+
+    def run(q: str) -> None:
+        _print_result(
+            engine.search(q, qtype, n_results=args.n_results,
+                          snippet_len=args.snippet_len),
+            args.query_type,
+        )
 
     if args.query is not None:
-        _print_result(run_query(engines, args.query, args), args.query_type)
+        run(args.query)
         return 0
     print("query> ", end="", flush=True)
     for line in sys.stdin:
         q = line.strip()
         if q:
-            _print_result(run_query(engines, q, args), args.query_type)
+            run(q)
         print("query> ", end="", flush=True)
     print()
     return 0

@@ -120,3 +120,39 @@ def test_encode_texts_udf_model_swap(spark):
     enc = sem.encode_texts_udf(model=DummyModel())
     got = {r["id"]: r["u"] for r in df.select("id", enc("text").alias("u")).collect()}
     assert got == {0: [2.0, 1.0], 1: [4.0, 1.0]}
+
+
+def test_serving_engine_dispatch(spark, fixture, tmp_path_factory):
+    """ServingEngine = the reference's Searcher family behind one object:
+    all four QueryTypes through the no-Spark serving stack, result shapes
+    consistent with search_full / SemanticService."""
+    import os
+
+    from websearchengine_spark.operators.query_api import QueryType
+    from websearchengine_spark.operators.serving import ServingEngine
+    from websearchengine_spark.plans.block_index import build_block_index
+
+    base = tmp_path_factory.mktemp("serving_engine")
+    tdf = spark.createDataFrame(fixture.transcripts)
+    tpath = str(base / "transcripts")
+    tdf.write.parquet(tpath)
+    idx = str(base / "idx")
+    build_block_index(spark.read.parquet(tpath), idx, resume=False,
+                      n_buckets=4, num_partitions=4)
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    eng = ServingEngine(idx, transcripts_path=tpath, embeddings_path=emb_path)
+
+    bm = eng.search("the data", QueryType.CONJUNCTIVE, n_results=3)
+    assert bm["count"] > 3 and len(bm["data"]) == 3 and bm["data"][0]["freqs"]
+    assert eng.search("the data", QueryType.CONJUNCTIVE, n_results=3)["cached"]
+
+    disj = eng.search("the nosuchword", QueryType.DISJUNCTIVE, n_results=2)
+    assert disj["count"] > 0  # OOV skipped, not empty
+
+    sem = eng.search("spark query", QueryType.SEMANTIC, n_results=4)
+    assert len(sem["data"]) == 4 and "freqs" not in sem["data"][0]
+    assert sem["count"] == 4
+    assert eng.search("spark query", QueryType.SEMANTIC, n_results=4)["cached"]
+
+    rr = eng.search("the data", QueryType.RERANKING, n_results=3)
+    assert len(rr["data"]) == 3 and rr["data"][0]["rank"] == 1
