@@ -648,6 +648,8 @@ def pipeline_entries() -> dict[str, tuple]:
         "ev_windowed_stats": (q_windowed_stats, SQL_WINDOWED_STATS),
         "ev_user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
         "ev_props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
+        "olap_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+        "olap_shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
         "dd_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "dd_ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "dd_minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGS),
@@ -683,3 +685,59 @@ def pipeline_bench_fns() -> dict[str, callable]:
         "pl_cosine_topk": q_cosine_topk,
         "pl_quality_score": q_quality_score,
     }
+
+
+# ---------------------------------------------------------------------------
+# general OLAP patterns over the relational tables (plans/olap.py)
+
+def q_pricing_summary(spark, sf_dir):
+    from websearchengine_spark.plans.olap import pricing_summary
+
+    return pricing_summary(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "1998-09-01"
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(list_aggregate(list(l_quantity ORDER BY l_orderkey, l_linenumber), 'sum'), 6) AS sum_qty,
+       ROUND(list_aggregate(list(l_extendedprice ORDER BY l_orderkey, l_linenumber), 'sum'), 6) AS sum_base_price,
+       ROUND(list_aggregate(list(l_extendedprice * (1 - l_discount) ORDER BY l_orderkey, l_linenumber), 'sum'), 6) AS sum_disc_price,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    from websearchengine_spark.plans.olap import shipping_priority
+
+    return shipping_priority(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        segment="BUILDING", cutoff="1995-03-15", k=10,
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+WITH rev AS (
+  SELECT l.l_orderkey, o.o_orderdate,
+         ROUND(list_aggregate(
+           list(l.l_extendedprice * (1 - l.l_discount)
+                ORDER BY l.l_orderkey, l.l_linenumber), 'sum'), 6) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1995-03-15'
+    AND l.l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY l.l_orderkey, o.o_orderdate
+)
+SELECT rank, l_orderkey, o_orderdate, revenue FROM (
+  SELECT (ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey ASC))::BIGINT AS rank,
+         l_orderkey, o_orderdate, revenue
+  FROM rev
+) WHERE rank <= 10
+"""
