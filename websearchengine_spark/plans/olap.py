@@ -95,3 +95,49 @@ def shipping_priority(
         .filter(F.col("rank") <= k)
         .select("rank", "l_orderkey", "o_orderdate", "revenue")
     )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str = "ASIA",
+    year_start: str = "1994-01-01",
+    year_end: str = "1995-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: six-way join — the join-reordering showcase.
+    region→nation→supplier collapse into broadcast joins (tiny dims);
+    customer⋈orders⋈lineitem carry the data volume; the "local" predicate
+    (customer and supplier share a nation) rides the join keys. Revenue per
+    nation, deterministic ordered-fold sums keyed by the lineitem PK."""
+    keys = ["l_orderkey", "l_linenumber"]
+    nat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    sup = supplier.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = customer.select("c_custkey", "c_nationkey")
+    ords = orders.filter(
+        (F.col("o_orderdate").cast("timestamp") >= F.to_timestamp(F.lit(year_start)))
+        & (F.col("o_orderdate").cast("timestamp") < F.to_timestamp(F.lit(year_end)))
+    ).select("o_orderkey", "o_custkey")
+    joined = (
+        lineitem.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))  # "local" volume
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            _ordered_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), keys
+            ).alias("revenue")
+        )
+        .select("n_name", "revenue")
+    )

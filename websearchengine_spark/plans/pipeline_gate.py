@@ -650,6 +650,9 @@ def pipeline_entries() -> dict[str, tuple]:
         "ev_props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
         "olap_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
         "olap_shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+        "olap_local_supplier_volume": (
+            q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME,
+        ),
         "dd_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "dd_ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "dd_minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGS),
@@ -740,4 +743,36 @@ SELECT rank, l_orderkey, o_orderdate, revenue FROM (
          l_orderkey, o_orderdate, revenue
   FROM rev
 ) WHERE rank <= 10
+"""
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    from websearchengine_spark.plans.olap import local_supplier_volume
+
+    return local_supplier_volume(
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n.n_name,
+       ROUND(list_aggregate(
+         list(l.l_extendedprice * (1 - l.l_discount)
+              ORDER BY l.l_orderkey, l.l_linenumber), 'sum'), 6) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-01-01'
+  AND c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name
 """
