@@ -1,13 +1,28 @@
 """General OLAP patterns over the relational test tables (TPC-H-shaped
-lineitem/orders/customer): the filter→group→ordered-aggregate→sort and
+lineitem/orders/customer): the filter→group→aggregate→sort and
 multi-join→top-k shapes every analytics workload reduces to. These are not
 reference operators — they demonstrate that the same engine discipline
-(broadcast small sides, deterministic ordered float folds, bounded top-k
-windows) covers the general relational surface beside the search core.
+(broadcast small sides, bounded top-k windows) covers the general
+relational surface beside the search core.
 
-Float determinism: every SUM over doubles is an ordered fold keyed by the
-row's primary key ((l_orderkey, l_linenumber)), mirrored in the DuckDB
-oracles — see the CLAUDE.md invariant on partial-merge order.
+Two plans per query — the same production-vs-oracle-twin split the
+SimHash/LSH pipeline uses:
+
+- **production** (default, ``exact=False``): plain ``F.sum`` — partial
+  aggregation (map-side combine) + one shuffle on the grouping key, the
+  plan you run at 100 TB. Float partial-merge order is nondeterministic,
+  so two runs can differ in the last ulp; results are rounded but a value
+  sitting exactly on a ROUND(x, 6) boundary may flip. That is the normal
+  contract of distributed float aggregation.
+- **exact twin** (``exact=True``): deterministic ordered fold keyed by the
+  row's primary key ((l_orderkey, l_linenumber)), mirrored row-for-row in
+  the DuckDB oracles — see the CLAUDE.md invariant on partial-merge order.
+  It materializes each group into one task (collect_list) so it is a
+  CORRECTNESS oracle for gate hashing, NOT a scale plan: at TPC-H Q1 group
+  sizes (~1.5M rows/group at sf1) the array would blow a task's memory.
+
+tests/test_olap_split.py asserts the production plans contain no
+collect_list and that production values equal the twin's to 2 decimals.
 """
 
 from __future__ import annotations
@@ -17,7 +32,8 @@ from pyspark.sql import functions as F
 
 
 def _ordered_sum(value_col, key_cols: list[str], ndigits: int = 6):
-    """Deterministic SUM: sequential fold of values in key order."""
+    """Deterministic SUM: sequential fold of values in key order (the
+    exact-twin device; see module docstring for why not in production)."""
     return F.round(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct(*key_cols, value_col.alias("_v")))),
@@ -28,7 +44,15 @@ def _ordered_sum(value_col, key_cols: list[str], ndigits: int = 6):
     )
 
 
-def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-01") -> DataFrame:
+def _sum(value_col, key_cols: list[str], exact: bool, ndigits: int = 6):
+    if exact:
+        return _ordered_sum(value_col, key_cols, ndigits)
+    return F.round(F.sum(value_col), ndigits)
+
+
+def pricing_summary(
+    lineitem: DataFrame, ship_cutoff: str = "1998-09-01", exact: bool = False
+) -> DataFrame:
     """TPC-H Q1 shape: per (returnflag, linestatus) over shipped rows —
     quantity/price sums, discounted revenue, row count. One shuffle on a
     tiny grouping key; partial aggregation handles the fan-in."""
@@ -42,9 +66,9 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-01") -> Dat
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _ordered_sum(F.col("l_quantity"), keys).alias("sum_qty"),
-            _ordered_sum(F.col("l_extendedprice"), keys).alias("sum_base_price"),
-            _ordered_sum(disc_price, keys).alias("sum_disc_price"),
+            _sum(F.col("l_quantity"), keys, exact).alias("sum_qty"),
+            _sum(F.col("l_extendedprice"), keys, exact).alias("sum_base_price"),
+            _sum(disc_price, keys, exact).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .select(
@@ -61,6 +85,7 @@ def shipping_priority(
     segment: str = "BUILDING",
     cutoff: str = "1995-03-15",
     k: int = 10,
+    exact: bool = False,
 ) -> DataFrame:
     """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) →
     per-order discounted revenue → top-k. customer is broadcast (small
@@ -84,8 +109,8 @@ def shipping_priority(
     rev = (
         joined.groupBy("l_orderkey", "o_orderdate")
         .agg(
-            _ordered_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), keys
+            _sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), keys, exact
             ).alias("revenue")
         )
     )
@@ -105,14 +130,17 @@ def local_supplier_volume(
     lineitem: DataFrame,
     supplier: DataFrame,
     region_name: str = "ASIA",
-    year_start: str = "1994-01-01",
-    year_end: str = "1995-01-01",
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    exact: bool = False,
 ) -> DataFrame:
     """TPC-H Q5 shape: six-way join — the join-reordering showcase.
     region→nation→supplier collapse into broadcast joins (tiny dims);
     customer⋈orders⋈lineitem carry the data volume; the "local" predicate
     (customer and supplier share a nation) rides the join keys. Revenue per
-    nation, deterministic ordered-fold sums keyed by the lineitem PK."""
+    nation. Default window is 1996 — INSIDE the test data's o_orderdate
+    range (1995-01-01 → 2001-08-01), so the gate is non-vacuous (the
+    round-2 1994 window matched zero orders and verified the empty set)."""
     keys = ["l_orderkey", "l_linenumber"]
     nat = nation.join(
         F.broadcast(region.filter(F.col("r_name") == region_name)),
@@ -135,8 +163,8 @@ def local_supplier_volume(
     return (
         joined.groupBy("n_name")
         .agg(
-            _ordered_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), keys
+            _sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), keys, exact
             ).alias("revenue")
         )
         .select("n_name", "revenue")

@@ -697,7 +697,7 @@ def q_pricing_summary(spark, sf_dir):
     from websearchengine_spark.plans.olap import pricing_summary
 
     return pricing_summary(
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "1998-09-01"
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "1998-09-01", exact=True
     )
 
 
@@ -720,7 +720,7 @@ def q_shipping_priority(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/customer.parquet"),
         spark.read.parquet(f"{sf_dir}/orders.parquet"),
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
-        segment="BUILDING", cutoff="1995-03-15", k=10,
+        segment="BUILDING", cutoff="1995-03-15", k=10, exact=True,
     )
 
 
@@ -756,6 +756,7 @@ def q_local_supplier_volume(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/orders.parquet"),
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
         spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        exact=True,
     )
 
 
@@ -771,8 +772,8 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
-  AND o.o_orderdate >= TIMESTAMP '1994-01-01'
-  AND o.o_orderdate < TIMESTAMP '1995-01-01'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
   AND c.c_nationkey = s.s_nationkey
 GROUP BY n.n_name
 """
