@@ -134,6 +134,39 @@ def test_dup_groups_chain_convergence(spark):
     assert set(groups.values()) == {0} and len(groups) == 21
 
 
+def test_dup_groups_star_equals_pointer_jump(spark):
+    """The two CC algorithms behind dup_groups must agree: random graphs
+    + the adversarial chain the star variant exists for (VERDICT r2 #9)."""
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        [(i, i + 1) for i in range(30)],                    # long chain
+        [(0, i) for i in range(1, 15)],                     # star
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(60)],  # random
+        [(100, 1), (1, 50), (50, 2), (7, 7), (3, 4)],       # self-loop + mixed
+    ]
+    for pairs_list in cases:
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in pairs_list], "doc_a long, doc_b long"
+        )
+        pj = {r["doc_id"]: r["group_id"]
+              for r in dedup.dup_groups(pairs, algorithm="pointer_jump").collect()}
+        st = {r["doc_id"]: r["group_id"]
+              for r in dedup.dup_groups(pairs, algorithm="star").collect()}
+        assert st == pj, pairs_list
+        # group ids are component minima
+        assert all(g <= d for d, g in st.items())
+
+
+def test_dup_groups_unknown_algorithm_raises(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with _pytest.raises(ValueError):
+        dedup.dup_groups(pairs, algorithm="nope")
+
+
 def test_curation_pipeline_composed(spark):
     from websearchengine_spark.pipeline.curate import curate
 

@@ -36,11 +36,14 @@ def setup(spark):
         "vec_id long, embedding array<float>",
     )
     queries = [(0, "spark data"), (1, "quick fox")]
-    return index, emb, queries
+    doc_texts = spark.createDataFrame(
+        [(i, t) for (_, i, _, t, _) in rows], "doc_id long, text string"
+    )
+    return index, emb, queries, doc_texts
 
 
 def test_bm25_modes_match_direct_search(setup):
-    index, emb, queries = setup
+    index, emb, queries, _ = setup
     api = search_api(index, queries, QueryType.CONJUNCTIVE, k=5).collect()
     direct = search(index, queries, conjunctive=True, k=5).collect()
     assert sorted(map(tuple, api)) == sorted(map(tuple, direct))
@@ -49,7 +52,7 @@ def test_bm25_modes_match_direct_search(setup):
 
 
 def test_semantic_mode(setup):
-    index, emb, queries = setup
+    index, emb, queries, _ = setup
     out = search_api(index, queries, QueryType.SEMANTIC, k=3, embeddings=emb).collect()
     per_q = {}
     for r in out:
@@ -59,31 +62,64 @@ def test_semantic_mode(setup):
         assert all(-1.0 <= r["cosine"] <= 1.0 for r in rs)
 
 
-def test_rerank_mode_is_bm25_candidates_reordered(setup):
-    index, emb, queries = setup
-    cands = {
-        (r["query_id"], r["doc_id"])
-        for r in search(index, queries, conjunctive=True, k=100).collect()
-    }
+def test_rerank_mode_is_semantic_candidates_pair_scored(setup):
+    """The reference's RERANKING (main.cpp:772-806): candidates come from
+    SEMANTIC search — NOT BM25 — and are re-scored by the cross-encoder
+    pair seam over the doc bodies, sorted by the pair score only."""
+    from websearchengine_spark.operators.pair_scorer import stub_pair_score
+
+    index, emb, queries, doc_texts = setup
+    texts = {r["doc_id"]: r["text"] for r in doc_texts.collect()}
     rr = search_api(
-        index, queries, QueryType.RERANKING, k=10, embeddings=emb
+        index, queries, QueryType.RERANKING, k=10,
+        embeddings=emb, doc_texts=doc_texts,
     ).collect()
     assert rr, "rerank produced no rows"
-    assert all((r["query_id"], r["doc_id"]) in cands for r in rr)
-    # ranked by cosine desc within each query
     per_q = {}
     for r in rr:
         per_q.setdefault(r["query_id"], []).append(r)
-    for rs in per_q.values():
+    qtext = dict(queries)
+    for qid, rs in per_q.items():
+        # every semantic candidate survives (5 docs < candidates_k=32) —
+        # including docs with ZERO BM25 conjunctive matches (the
+        # architecture point: a no-BM25-match query still reranks)
+        assert {r["doc_id"] for r in rs} == set(texts)
         rs.sort(key=lambda r: r["rank"])
-        cos = [r["cosine"] for r in rs]
-        assert cos == sorted(cos, reverse=True)
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:  # scores are the stub pair scores on (raw q, body)
+            assert r["score"] == round(
+                stub_pair_score(qtext[qid], texts[r["doc_id"]]), 6
+            )
+
+
+def test_rerank_pair_scorer_model_swap(setup):
+    """Any CrossEncoder-shaped object (predict over (query, text) pairs)
+    drops into the rerank seam without touching the plan."""
+    index, emb, queries, doc_texts = setup
+
+    class DummyCE:
+        def predict(self, pairs):
+            return [float(len(t)) for _, t in pairs]
+
+    rr = search_api(
+        index, [queries[0]], QueryType.RERANKING, k=3,
+        embeddings=emb, doc_texts=doc_texts, pair_scorer=DummyCE(),
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in doc_texts.collect()}
+    assert len(rr) == 3
+    rr.sort(key=lambda r: r["rank"])
+    assert rr[0]["score"] == max(float(len(t)) for t in texts.values())
+    lens = [r["score"] for r in rr]
+    assert lens == sorted(lens, reverse=True)
 
 
 def test_semantic_requires_embeddings(setup):
-    index, emb, queries = setup
+    index, emb, queries, _ = setup
     with pytest.raises(ValueError):
         search_api(index, queries, QueryType.SEMANTIC)
+    with pytest.raises(ValueError):
+        search_api(index, queries, QueryType.RERANKING, embeddings=emb)
 
 
 def test_encode_texts_udf_matches_pseudo_embedding(spark):
@@ -122,37 +158,108 @@ def test_encode_texts_udf_model_swap(spark):
     assert got == {0: [2.0, 1.0], 1: [4.0, 1.0]}
 
 
-def test_serving_engine_dispatch(spark, fixture, tmp_path_factory):
+def test_serving_engine_dispatch(spark, tmp_path_factory):
     """ServingEngine = the reference's Searcher family behind one object:
-    all four QueryTypes through the no-Spark serving stack, result shapes
-    consistent with search_full / SemanticService."""
-    import os
-
+    all four QueryTypes through the no-Spark serving stack. SEMANTIC /
+    RERANKING follow TransformerSearcher + the base-class assembly
+    (main.cpp:465-553, 744-831): candidates from semantic search, count =
+    total ranked size, snippets from the doc bodies, no-term items
+    dropped (data empty → count forced 0), caches keyed by RAW query."""
     from websearchengine_spark.operators.query_api import QueryType
     from websearchengine_spark.operators.serving import ServingEngine
     from websearchengine_spark.plans.block_index import build_block_index
 
     base = tmp_path_factory.mktemp("serving_engine")
-    tdf = spark.createDataFrame(fixture.transcripts)
+    n_docs = 40
+    rows = [
+        ("c", i, "user", f"data term{i} alpha{i % 7} filler{i % 3}", None)
+        for i in range(n_docs)
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
     tpath = str(base / "transcripts")
     tdf.write.parquet(tpath)
     idx = str(base / "idx")
     build_block_index(spark.read.parquet(tpath), idx, resume=False,
                       n_buckets=4, num_partitions=4)
-    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    # embeddings aligned with the index's dense docIDs (single conv →
+    # doc_id = turn_idx)
+    from websearchengine_spark.operators.semantic import pseudo_embedding
+
+    emb_path = str(base / "embeddings.parquet")
+    tdf.select(
+        F.col("turn_idx").cast("long").alias("vec_id"),
+        pseudo_embedding(F.col("text"), dim=8).cast("array<float>").alias("embedding"),
+    ).coalesce(1).write.parquet(emb_path)
     eng = ServingEngine(idx, transcripts_path=tpath, embeddings_path=emb_path)
 
-    bm = eng.search("the data", QueryType.CONJUNCTIVE, n_results=3)
+    bm = eng.search("data", QueryType.CONJUNCTIVE, n_results=3)
     assert bm["count"] > 3 and len(bm["data"]) == 3 and bm["data"][0]["freqs"]
-    assert eng.search("the data", QueryType.CONJUNCTIVE, n_results=3)["cached"]
+    assert eng.search("data", QueryType.CONJUNCTIVE, n_results=3)["cached"]
 
-    disj = eng.search("the nosuchword", QueryType.DISJUNCTIVE, n_results=2)
+    disj = eng.search("data nosuchword", QueryType.DISJUNCTIVE, n_results=2)
     assert disj["count"] > 0  # OOV skipped, not empty
 
-    sem = eng.search("spark query", QueryType.SEMANTIC, n_results=4)
+    sem = eng.search("data alpha3", QueryType.SEMANTIC, n_results=4)
+    # count = TOTAL ranked size (the full 32-candidate list), not the page
+    assert sem["count"] == 32
+    # every body contains "data" → no drops → a full page
     assert len(sem["data"]) == 4 and "freqs" not in sem["data"][0]
-    assert sem["count"] == 4
-    assert eng.search("spark query", QueryType.SEMANTIC, n_results=4)["cached"]
+    assert "snippet" in sem["data"][0] and sem["data"][0]["conv_id"] == "c"
+    assert eng.search("data alpha3", QueryType.SEMANTIC, n_results=4)["cached"]
+    # full candidate list is cached — a different page size is still a hit
+    assert eng.search("data alpha3", QueryType.SEMANTIC, n_results=7)["cached"]
 
-    rr = eng.search("the data", QueryType.RERANKING, n_results=3)
+    rr = eng.search("data term5", QueryType.RERANKING, n_results=3)
+    assert rr["count"] == 32
     assert len(rr["data"]) == 3 and rr["data"][0]["rank"] == 1
+    rr_scores = [it["score"] for it in rr["data"]]
+    assert rr_scores == sorted(rr_scores, reverse=True)
+    # separate per-QueryType caches (main.cpp:744-751): same raw query,
+    # other type → miss; same type → hit
+    assert not eng.search("data term5", QueryType.SEMANTIC, n_results=3)["cached"]
+    assert eng.search("data term5", QueryType.RERANKING, n_results=5)["cached"]
+
+    # no query term in any candidate body → every item dropped → data
+    # empty and count forced to 0 (main.cpp:548-550)
+    none = eng.search("zzzqqq", QueryType.SEMANTIC, n_results=3)
+    assert none["count"] == 0 and none["data"] == []
+
+
+def test_serving_rerank_matches_dataframe_plan(spark, tmp_path_factory):
+    """Serving RERANKING must be rank- and score-identical to the
+    DataFrame plan (operators/semantic.rerank) on the same corpus."""
+    from websearchengine_spark.operators.semantic import (
+        encode_texts_udf, pseudo_embedding, rerank,
+    )
+    from websearchengine_spark.operators.semantic_service import SemanticService
+
+    base = tmp_path_factory.mktemp("serving_rerank_parity")
+    docs = spark.createDataFrame(
+        [(i, f"body word{i} shared{i % 5}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    emb_path = str(base / "emb.parquet")
+    docs.select(
+        F.col("doc_id").alias("vec_id"),
+        pseudo_embedding(F.col("text"), dim=8).cast("array<float>").alias("embedding"),
+    ).coalesce(1).write.parquet(emb_path)
+    emb = spark.read.parquet(emb_path)
+    query = "shared2 word7"
+    qdf = spark.createDataFrame([(0, query)], "query_id long, query string")
+    qv = qdf.select(
+        "query_id", encode_texts_udf(dim=8)(F.col("query")).alias("qv")
+    )
+    expected = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in rerank(docs, emb, qv, qdf, k=8, candidates_k=12)
+        .orderBy("rank").collect()
+    ]
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    svc = SemanticService(emb_path)
+    got = svc.rerank(
+        query, texts_for=lambda ids: {d: texts[d] for d in ids},
+        k=8, candidates_k=12,
+    )
+    assert got == expected

@@ -116,16 +116,26 @@ def test_semantic_service_matches_dataframe_plans(spark, tmp_path):
         got = svc.search(q, k=10)
         assert got == sorted(by_q[qid])  # bit-identical (sequential fold)
 
-    # rerank parity on a fixed candidate set
-    cands = [5, 17, 3, 42, 8]
-    cdf = spark.createDataFrame(
-        [(0, d) for d in cands], "query_id long, doc_id long"
-    )
+    # rerank parity: serving flow (semantic candidates → pair-scorer stub
+    # → stable sort by score) must be rank- AND score-identical to the
+    # DataFrame plan
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     exp_rr = sorted(
-        (r["rank"], r["doc_id"], r["cosine"])
-        for r in rerank(cdf, emb, qv.filter(F.col("query_id") == 0), k=5).collect()
+        (r["rank"], r["doc_id"], r["score"])
+        for r in rerank(
+            docs, emb,
+            qv.filter(F.col("query_id") == 0),
+            qdf.filter(F.col("query_id") == 0),
+            k=5, candidates_k=16,
+        ).collect()
     )
-    assert svc.rerank("spark query", cands, k=5) == exp_rr
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = svc.rerank(
+        "spark query",
+        texts_for=lambda ids: {d: texts.get(d, "") for d in ids},
+        k=5, candidates_k=16,
+    )
+    assert got == exp_rr
 
 
 def test_semantic_service_model_swap():

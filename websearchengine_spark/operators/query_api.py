@@ -38,14 +38,19 @@ def search_api(
     query_type: QueryType = QueryType.CONJUNCTIVE,
     k: int = 10,
     embeddings: DataFrame | None = None,
-    rerank_candidates: int = 100,
+    doc_texts: DataFrame | None = None,
+    rerank_candidates: int = 32,
+    pair_scorer=None,
 ) -> DataFrame:
     """Dispatch like the reference's Searcher::search. BM25 modes run the
     exhaustive DataFrame plan; SEMANTIC is dense cosine retrieval over the
-    doc-embedding table; RERANKING is BM25 conjunctive candidate generation
-    re-scored by embedding cosine (learning_to_rank.py:18-27). The query
-    encoder is the pseudo-embedding stub (operators/semantic.py) — swap
-    there for a real model."""
+    doc-embedding table; RERANKING follows the reference's actual pipeline
+    (main.cpp:772-806): SEMANTIC candidates (top ``rerank_candidates`` =
+    the reference's top_k=32) re-scored by the cross-encoder pair seam
+    over the doc bodies (``doc_texts``: (doc_id, text)). The query encoder
+    is the pseudo-embedding stub (operators/semantic.py) and the pair
+    scorer defaults to the deterministic stub
+    (operators/pair_scorer.py) — swap either for a real model."""
     spark = index.postings.sparkSession
     if query_type in (QueryType.CONJUNCTIVE, QueryType.DISJUNCTIVE):
         return bm25_search(
@@ -57,5 +62,13 @@ def search_api(
     qv = _query_vecs(spark, queries, dim)
     if query_type == QueryType.SEMANTIC:
         return sem.semantic_topk(embeddings, qv, k=k)
-    cands = bm25_search(index, queries, conjunctive=True, k=rerank_candidates)
-    return sem.rerank(cands, embeddings, qv, k=k)
+    if doc_texts is None:
+        raise ValueError(
+            "RERANKING needs doc_texts (doc_id, text) — the cross-encoder "
+            "scores (query, doc_body) pairs (main.cpp:785-799)"
+        )
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    return sem.rerank(
+        doc_texts, embeddings, qv, qdf,
+        k=k, candidates_k=rerank_candidates, scorer=pair_scorer,
+    )

@@ -23,8 +23,6 @@ interactive/rerank role.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow.parquet as pq
 
@@ -54,17 +52,9 @@ class SemanticService:
         pseudo_embedding, so results line up with the gate-checked plans."""
         if self._encoder is not None:
             return np.asarray(self._encoder.encode([text])[0], dtype=np.float64)
-        return np.array(
-            [
-                (
-                    int(hashlib.md5(f"{text}#{j}".encode("utf-8")).hexdigest()[:15], 16)
-                    % 2001
-                    - 1000
-                )
-                / 1000.0
-                for j in range(self.dim)
-            ]
-        )
+        from websearchengine_spark.operators.semantic import hash_encode_batch
+
+        return np.array(hash_encode_batch([text], self.dim)[0])
 
     def _cosines(self, qv: np.ndarray, rows: np.ndarray | None = None):
         mat = self.mat if rows is None else self.mat[rows]
@@ -86,15 +76,35 @@ class SemanticService:
         ]
 
     def rerank(
-        self, query: str, candidate_ids: list[int], k: int = 10
+        self,
+        query: str,
+        texts_for,
+        k: int = 10,
+        candidates_k: int = 32,
+        scorer=None,
     ) -> list[tuple[int, int, float]]:
-        """Two-stage: re-score BM25 candidates by embedding cosine
-        (learning_to_rank.py:18-27 shape), rank by the reranker score only."""
-        cand = np.asarray(sorted(set(int(c) for c in candidate_ids)), dtype=np.int64)
-        pos = np.searchsorted(self.doc_ids, cand)
-        ok = (pos < len(self.doc_ids)) & (self.doc_ids[np.minimum(pos, len(self.doc_ids) - 1)] == cand)
-        pos = pos[ok]
-        cos = self._cosines(self.encode(query), rows=pos)
-        ids = self.doc_ids[pos]
-        sel = np.lexsort((ids, -cos))[: min(k, len(cos))]
-        return [(i + 1, int(ids[j]), float(cos[j])) for i, j in enumerate(sel)]
+        """The reference's RERANKING flow (main.cpp:772-806): SEMANTIC
+        candidates (top ``candidates_k``, learning_to_rank.py:10's
+        top_k=32) → (raw query, doc_text) pairs from the doc bodies →
+        cross-encoder seam scores (operators/pair_scorer; stub default) →
+        sort by score DESC, stable (ties keep semantic order,
+        learning_to_rank.py:27). ``texts_for``: callable(list[doc_id]) →
+        {doc_id: text} (SnippetService.texts_for — the read_doc analogue)
+        or a plain dict. Rank-identical to the DataFrame plan
+        operators/semantic.rerank."""
+        cands = self.search(query, k=candidates_k)
+        ids = [d for _, d, _ in cands]
+        texts = texts_for(ids) if callable(texts_for) else texts_for
+        from websearchengine_spark.operators.pair_scorer import score_pairs
+
+        scores = [
+            round(s, 6)
+            for s in score_pairs(
+                [(query, texts.get(d, "")) for d in ids], model=scorer
+            )
+        ]
+        order = sorted(range(len(ids)), key=lambda i: -scores[i])  # stable
+        return [
+            (r + 1, int(ids[i]), float(scores[i]))
+            for r, i in enumerate(order[: min(k, len(ids))])
+        ]

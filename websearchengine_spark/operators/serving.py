@@ -5,20 +5,35 @@ by QueryType, main.cpp:234-236, 555-841) behind one object, no Spark:
     engine = ServingEngine(index_dir, transcripts_path=..., embeddings_path=...)
     engine.search("hash join", QueryType.CONJUNCTIVE, n_results=10)
     → {cached, time (µs), count, data: [{rank, score, freqs?, conv_id,
-       turn_idx, role, snippet?}]}
+       turn_idx, role, snippet?}, ...]}
 
 BM25 modes delegate to BlockIndexReader.search_full (count = TOTAL
-matches, freqs sorted-term, reference-exact snippets). SEMANTIC/RERANKING
-delegate to SemanticService (bit-identical cosines to the DataFrame
-plans); per the reference, transformer results carry no freqs and the
-response's count is the returned list's length, with results cached under
-the cleaned-query key like the BM25 searchers (main.cpp:758-768)."""
+matches, freqs sorted-term, reference-exact snippets).
+
+SEMANTIC/RERANKING follow TransformerSearcher + the Searcher::search base
+assembly (main.cpp:465-553, 744-831):
+
+- candidates always come from SEMANTIC search (bi-encoder top
+  ``candidates_k`` = the reference's top_k=32, learning_to_rank.py:10);
+  RERANKING re-scores them through the cross-encoder pair seam
+  (operators/pair_scorer) over the doc BODIES fetched via SnippetService
+  (the read_doc analogue, main.cpp:785-799);
+- results run through the SAME assembly as search_full: reference-exact
+  snippets when transcripts are available, items whose body contains no
+  query term are DROPPED (main.cpp:520-546), ``count`` is the TOTAL
+  ranked size — the full candidate list, not the page — forced to 0 when
+  ``data`` empties (main.cpp:548-550); transformer items carry no freqs
+  (main.cpp:490);
+- the transformer caches key on the RAW query, one cache per QueryType
+  (main.cpp:744-751, 823-828 — reranking_result_cache vs result_cache),
+  and cache the FULL ranked candidate list (truncation happens at
+  assembly, main.cpp:488).
+"""
 
 from __future__ import annotations
 
 import time
 
-from websearchengine_spark.functions.tokenizer import clean_query
 from websearchengine_spark.operators.query_api import QueryType
 from websearchengine_spark.operators.wand import BlockIndexReader, _LRU
 
@@ -30,8 +45,9 @@ class ServingEngine:
         transcripts_path: str | None = None,
         embeddings_path: str | None = None,
         encoder=None,
+        pair_scorer=None,
         result_cache: int = 1000,
-        rerank_candidates: int = 100,
+        candidates_k: int = 32,
     ):
         import os
 
@@ -50,8 +66,17 @@ class ServingEngine:
             )
 
             self.semantic = SemanticService(embeddings_path, encoder=encoder)
-        self.rerank_candidates = rerank_candidates
+        self.pair_scorer = pair_scorer
+        self.candidates_k = candidates_k
+        # one cache per transformer QueryType, keyed by the RAW query
+        # (main.cpp:744-751: result_cache.get(query) / reranking_result_cache)
         self._sem_cache = _LRU(result_cache)
+        self._rerank_cache = _LRU(result_cache)
+
+    def _texts_for(self, doc_ids):
+        if self.snippets is None:
+            return {}
+        return self.snippets.texts_for(doc_ids)
 
     def search(
         self,
@@ -71,39 +96,50 @@ class ServingEngine:
             )
         if self.semantic is None:
             raise ValueError("SEMANTIC/RERANKING need embeddings_path")
-        key = (" ".join(clean_query(query)), int(query_type), n_results)
+        cache = (
+            self._rerank_cache
+            if query_type == QueryType.RERANKING
+            else self._sem_cache
+        )
         t0 = time.perf_counter()
-        cached = self._sem_cache.get_(key)
-        if cached is not None:
-            ranked = cached
-            was_cached = True
-        else:
-            was_cached = False
+        ranked = cache.get_(query)  # RAW query key (main.cpp:744-751)
+        was_cached = ranked is not None
+        if not was_cached:
             if query_type == QueryType.SEMANTIC:
-                ranked = self.semantic.search(query, k=n_results)
+                ranked = self.semantic.search(query, k=self.candidates_k)
             else:
-                cands = [
-                    d
-                    for _, d, _ in self.reader.search(
-                        query, conjunctive=True, k=self.rerank_candidates
-                    )
-                ]
-                ranked = self.semantic.rerank(query, cands, k=n_results)
-            self._sem_cache.put(key, ranked)
+                ranked = self.semantic.rerank(
+                    query,
+                    texts_for=self._texts_for,
+                    k=self.candidates_k,  # cache the FULL list (main.cpp:488)
+                    candidates_k=self.candidates_k,
+                    scorer=self.pair_scorer,
+                )
+            cache.put(query, ranked)
         elapsed_us = (time.perf_counter() - t0) * 1e6
-        meta = (
-            self.snippets.meta_for([d for _, d, _ in ranked])
+        result = {
+            "cached": was_cached,
+            "time": elapsed_us,
+            "count": len(ranked),  # total ranked size (main.cpp:487)
+            "data": [],
+        }
+        page = ranked[:n_results]
+        doc_ids = [d for _, d, _ in page]
+        meta = self.snippets.meta_for(doc_ids) if self.snippets is not None else {}
+        snips = (
+            self.snippets.reference_snippets(query, doc_ids, snippet_len)
             if self.snippets is not None
             else {}
         )
-        data = []
-        for rank, d, score in ranked:
+        for rank, d, score in page:
             item = {"rank": rank, "score": score}  # no freqs (main.cpp:490)
-            item.update(meta.get(d, {}))
-            data.append(item)
-        return {
-            "cached": was_cached,
-            "time": elapsed_us,
-            "count": len(data),
-            "data": data,
-        }
+            if self.snippets is not None:
+                item.update(meta.get(d, {}))
+                snip = snips.get(d)
+                if snip is None:
+                    continue  # no query term in body → dropped (main.cpp:520-546)
+                item["snippet"] = snip
+            result["data"].append(item)
+        if not result["data"]:
+            result["count"] = 0  # reference quirk (main.cpp:548-550)
+        return result

@@ -393,17 +393,30 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 # duplicate-group resolution (connected components over dup pairs)
 
-def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Resolve near-dup PAIRS into duplicate GROUPS: connected components
-    by iterative min-label propagation; group_id = min doc_id in the
-    component. (doc_id, group_id) for every doc appearing in a pair.
+def dup_groups(
+    pairs: DataFrame, max_iter: int = 25, algorithm: str = "pointer_jump"
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS: connected components;
+    group_id = min doc_id in the component. (doc_id, group_id) for every
+    doc appearing in a pair.
 
-    Convergence is O(component diameter) joins — dup clusters are shallow
-    (stars/cliques), so a handful of iterations in practice; the alternating
-    large-star/small-star trick (Kiveris et al.) drops in at the same seam
-    for adversarial chain-shaped graphs at 10^12 scale. Iterative and
-    driver-coordinated, but each iteration is one distributed join+agg —
-    no collect of the graph."""
+    Two interchangeable algorithms behind one API (property-tested equal,
+    tests/test_pipeline.py):
+
+    - ``pointer_jump`` (default): min-label propagation + label-of-label
+      doubling — O(log diameter) rounds of join+agg. Dup clusters are
+      shallow (stars/cliques), so a handful of iterations in practice.
+    - ``star``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond") — edge-set rewrites
+      whose per-round sizes stay near-linear even on adversarial
+      chain/path-shaped graphs, the safe choice at 10^12-edge scale.
+
+    Both are iterative and driver-coordinated, but each iteration is a
+    constant number of distributed joins/aggs — no collect of the graph."""
+    if algorithm == "star":
+        return _dup_groups_star(pairs, max_iter=max(max_iter, 50))
+    if algorithm != "pointer_jump":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -447,6 +460,86 @@ def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
     finally:
         edges.unpersist()
+
+
+def _dup_groups_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al. 2014). Operates on the symmetric edge list:
+
+    - large-star: per node u with m = min(N(u) ∪ {u}), rewire every
+      neighbor v > u to (v, m);
+    - small-star: orient edges (hi, lo), per hi with m = min(N⁻(hi) ∪
+      {hi}) rewire every small neighbor and hi itself to m.
+
+    Converges when the edge set is fixed — then every edge is (node,
+    root). Unlike naive label propagation, intermediate edge sets stay
+    near-linear in the input even on adversarial long-chain graphs."""
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # neighborhoods are undirected — symmetrize the (canonical,
+        # hi→lo-oriented) input before grouping
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        m = e.groupBy("src").agg(F.min("dst").alias("mn")).select(
+            "src", F.least(F.col("mn"), F.col("src")).alias("m")
+        )
+        return (
+            e.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+        ).distinct()
+        m = oriented.groupBy("hi").agg(F.min("lo").alias("m"))
+        lo_edges = oriented.join(m, "hi").select(
+            F.col("lo").alias("src"), F.col("m").alias("dst")
+        )
+        hi_edges = m.select(F.col("hi").alias("src"), F.col("m").alias("dst"))
+        return (
+            lo_edges.union(hi_edges)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    try:
+        for _ in range(max_iter):
+            new_edges = _small_star(_large_star(edges)).localCheckpoint()
+            if new_edges.exceptAll(edges).isEmpty() and edges.exceptAll(
+                new_edges
+            ).isEmpty():
+                edges = new_edges
+                break
+            edges = new_edges
+        # stars: every remaining edge points node → its component root
+        roots = edges.groupBy("src").agg(F.min("dst").alias("group_id"))
+        return (
+            nodes.join(roots, nodes.node == roots.src, "left")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.coalesce("group_id", F.col("node")).alias("group_id"),
+            )
+        )
+    finally:
+        nodes.unpersist()
 
 
 def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:

@@ -53,6 +53,11 @@ from websearchengine_spark.functions.codec import vb_encode, vb_value_lengths
 from websearchengine_spark.functions.tokenizer import tokenize_postings_frame
 from websearchengine_spark.operators.docids import ordered_partitions
 from websearchengine_spark.plans.build import B, K1
+from websearchengine_spark.sources.catalog import (
+    is_table_identifier,
+    read_table,
+    write_table,
+)
 
 BLOCK_SCHEMA = T.StructType(
     [
@@ -78,27 +83,41 @@ def term_bucket(term: str, n_buckets: int) -> int:
 
 @dataclass
 class BlockIndexPaths:
+    """The five index tables. ``root`` is either a filesystem directory
+    (tables are parquet subdirectories) or an Iceberg table-identifier
+    PREFIX like ``catalog.db.idx`` (tables are ``catalog.db.idx_blocks``
+    etc. — Iceberg namespaces are flat, so children are suffixed siblings).
+    All Spark-side IO in this module routes through sources/catalog.py, so
+    an Iceberg runtime picks the index tables up with no code edits; the
+    pyarrow serving reader (operators/wand.py) requires the filesystem
+    layout."""
+
     root: str
+
+    def _child(self, name: str) -> str:
+        if is_table_identifier(self.root):
+            return f"{self.root}_{name}"
+        return os.path.join(self.root, name)
 
     @property
     def blocks(self) -> str:
-        return os.path.join(self.root, "blocks")
+        return self._child("blocks")
 
     @property
     def lexicon(self) -> str:
-        return os.path.join(self.root, "lexicon")
+        return self._child("lexicon")
 
     @property
     def doc_stats(self) -> str:
-        return os.path.join(self.root, "doc_stats")
+        return self._child("doc_stats")
 
     @property
     def meta(self) -> str:
-        return os.path.join(self.root, "meta")
+        return self._child("meta")
 
     @property
     def checkpoints(self) -> str:
-        return os.path.join(self.root, "checkpoints")
+        return self._child("checkpoints")
 
 
 def _vb_blocked(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list[bytes]:
@@ -322,7 +341,7 @@ def build_block_index(
     done: set[int] = set()
     if resume:
         try:
-            cp = spark.read.parquet(paths.checkpoints)
+            cp = read_table(spark, paths.checkpoints)
             done = {
                 r["bucket"]
                 for r in cp.filter(
@@ -364,13 +383,12 @@ def build_block_index(
         prev_batch = spark.conf.get(batch_key, "10000")
         spark.conf.set(batch_key, str(1 << 17))
         try:
-            (
-                blocks.repartition("bucket")
-                .sortWithinPartitions("term", "doc_lo")
-                .write.partitionBy("bucket")
-                .option("parquet.block.size", str(1 << 20))
-                .mode("overwrite")
-                .parquet(paths.blocks)
+            write_table(
+                blocks.repartition("bucket").sortWithinPartitions("term", "doc_lo"),
+                paths.blocks,
+                mode="overwrite",
+                partition_by=("bucket",),
+                options={"parquet.block.size": 1 << 20},
             )
         finally:
             spark.conf.set(batch_key, prev_batch)
@@ -383,7 +401,7 @@ def build_block_index(
         BLOCK_SCHEMA.fields[:-1]
         + [T.StructField("bucket", T.IntegerType(), True)]
     )
-    built_blocks = spark.read.schema(read_schema).parquet(paths.blocks).filter(
+    built_blocks = read_table(spark, paths.blocks, schema=read_schema).filter(
         F.col("bucket").isin(build_buckets) if build_buckets else F.lit(False)
     )
     per_bucket = {
@@ -418,30 +436,40 @@ def build_block_index(
             )
         )
     if cp_rows:
-        spark.createDataFrame(
-            cp_rows,
-            "build_id string, bucket int, status string, fingerprint string, "
-            "n_postings long, n_blocks long, bytes_compressed long, "
-            "wall_s double, postings_per_sec double, ts double",
-        ).write.mode("append").parquet(paths.checkpoints)
+        write_table(
+            spark.createDataFrame(
+                cp_rows,
+                "build_id string, bucket int, status string, fingerprint string, "
+                "n_postings long, n_blocks long, bytes_compressed long, "
+                "wall_s double, postings_per_sec double, ts double",
+            ),
+            paths.checkpoints,
+            mode="append",
+        )
 
     complete = len(done) + len(build_buckets) == n_buckets
     if complete:
-        (
-            lexicon.withColumn("bucket", (F.crc32(F.col("term")) % n_buckets).cast("int"))
+        write_table(
+            lexicon.withColumn(
+                "bucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
+            )
             .repartition("bucket")
-            .sortWithinPartitions("term")
-            .write.partitionBy("bucket")
-            .option("parquet.block.size", str(256 << 10))
-            .mode("overwrite")
-            .parquet(paths.lexicon)
+            .sortWithinPartitions("term"),
+            paths.lexicon,
+            mode="overwrite",
+            partition_by=("bucket",),
+            options={"parquet.block.size": 256 << 10},
         )
-        doc_stats.write.mode("overwrite").parquet(paths.doc_stats)
-        spark.createDataFrame(
-            [(build_id, n_docs, avg_dl, block_size, n_buckets, fingerprint)],
-            "build_id string, n_docs long, avg_dl double, block_size int, "
-            "n_buckets int, fingerprint string",
-        ).write.mode("overwrite").parquet(paths.meta)
+        write_table(doc_stats, paths.doc_stats, mode="overwrite")
+        write_table(
+            spark.createDataFrame(
+                [(build_id, n_docs, avg_dl, block_size, n_buckets, fingerprint)],
+                "build_id string, n_docs long, avg_dl double, block_size int, "
+                "n_buckets int, fingerprint string",
+            ),
+            paths.meta,
+            mode="overwrite",
+        )
 
     n_postings = sum(int(r["n_postings"]) for r in per_bucket.values())
     flat.unpersist()
@@ -459,5 +487,5 @@ def build_block_index(
 
 
 def load_meta(spark: SparkSession, out_dir: str) -> dict:
-    row = spark.read.parquet(BlockIndexPaths(out_dir).meta).collect()[0]
+    row = read_table(spark, BlockIndexPaths(out_dir).meta).collect()[0]
     return row.asDict()

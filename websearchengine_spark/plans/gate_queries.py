@@ -570,12 +570,16 @@ def q_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_topk(_emb(spark, sf_dir), _gate_query_vecs(spark), k=10)
 
 
-# pseudo-encoder mirrored in SQL: qc_j = ((h60(query||'#'||j) % 2001) - 1000)/1000
-SQL_QCOMP = f"""
-qtext(query_id, query) AS (VALUES {{qtext}}),
+# pseudo-encoder mirrored in SQL (block/lane md5 scheme of
+# operators/semantic.hash_encode_batch): component d uses 16-bit lane
+# d%8 of md5(query || '#' || d//8) — 4 hex chars = the big-endian uint16
+SQL_QCOMP = """
+qtext(query_id, query) AS (VALUES {qtext}),
 qcomp AS (
   SELECT query_id, g.d,
-         (({sql_h60("query || '#' || g.d::VARCHAR")} % 2001) - 1000) / 1000.0 AS qc
+         ((('0x' || substr(md5(query || '#' || (g.d // 8)::VARCHAR),
+                           1 + 4 * (g.d % 8), 4))::BIGINT % 2001) - 1000)
+         / 1000.0 AS qc
   FROM qtext CROSS JOIN generate_series(0, 63) AS g(d)
 ),
 dv AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -611,28 +615,47 @@ SELECT query_id, rank, doc_id, cosine FROM (
 
 
 def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """QueryType RERANKING (learning_to_rank.py:18-27): BM25 conjunctive
-    candidates re-scored by embedding cosine, ranked by the reranker score
-    only (desc, docID asc ties)."""
+    """QueryType RERANKING — the reference's actual pipeline
+    (main.cpp:772-806 + learning_to_rank.py): SEMANTIC candidates (top 32,
+    learning_to_rank.py:10) re-scored by the cross-encoder pair seam over
+    (raw query, doc body) pairs, ranked by the pair score only (stable —
+    ties keep semantic order). Verifies the whole dataflow end-to-end:
+    pandas-UDF query encoder, dense top-32, broadcast doc-text join,
+    pandas-UDF pair scorer, final sort."""
     from websearchengine_spark.operators.semantic import rerank
 
-    cands = _spark_conj_top10(spark, sf_dir)
-    return rerank(cands, _emb(spark, sf_dir), _gate_query_vecs(spark), k=10)
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id long, query string")
+    return rerank(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), _gate_query_vecs(spark), qdf,
+        k=10, candidates_k=32,
+    )
 
 
-SQL_RERANK_TOPK = f"""
-WITH {{conj_ctes}},
-{SQL_QCOMP.replace("qtext(query_id, query)", "qtext2(query_id, query)").replace("FROM qtext ", "FROM qtext2 ")},
-cand_cos AS (
-  SELECT c.query_id, c.doc_id, c.cosine FROM cos c
-  JOIN top10 t ON t.query_id = c.query_id AND t.doc_id = c.doc_id
+def _sql_rerank_topk() -> str:
+    from websearchengine_spark.operators.pair_scorer import sql_pair_score
+
+    return f"""
+WITH {SQL_QCOMP},
+sem AS (
+  SELECT query_id, doc_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id ASC) AS sem_rank
+  FROM cos
+),
+cand AS (SELECT * FROM sem WHERE sem_rank <= 32),
+scored AS (
+  SELECT c.query_id, c.doc_id, c.sem_rank,
+         ROUND({sql_pair_score("q.query", "d.text")}, 6) AS score
+  FROM cand c
+  JOIN qtext q ON q.query_id = c.query_id
+  JOIN documents d ON d.doc_id = c.doc_id
 )
-SELECT query_id, rank, doc_id, cosine FROM (
+SELECT query_id, rank, doc_id, score FROM (
   SELECT query_id::BIGINT AS query_id,
          (ROW_NUMBER() OVER (PARTITION BY query_id
-                             ORDER BY cosine DESC, doc_id ASC))::BIGINT AS rank,
-         doc_id::BIGINT AS doc_id, cosine
-  FROM cand_cos
+                             ORDER BY score DESC, sem_rank ASC))::BIGINT AS rank,
+         doc_id::BIGINT AS doc_id, score
+  FROM scored
 ) WHERE rank <= 10
 """
 
@@ -741,9 +764,6 @@ def core_entries() -> dict[str, tuple]:
         ),
         "q3_rerank_topk": (
             q_rerank_topk,
-            SQL_RERANK_TOPK.replace(
-                "{conj_ctes}",
-                SQL_CONJ_TOP10_CTES.replace("{qterms}", _qterms_values()),
-            ).replace("{qtext}", _qtext_values()),
+            _sql_rerank_topk().replace("{qtext}", _qtext_values()),
         ),
     }

@@ -343,12 +343,16 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 def q_dup_groups(spark, sf_dir):
     """Connected-components dup groups over the MinHash-LSH pair set
-    (iterative min-label propagation in Spark vs WITH RECURSIVE in the
-    oracle — same fixpoint)."""
+    (Spark vs WITH RECURSIVE in the oracle — same fixpoint). The CC
+    algorithm is selectable via WSE_DUP_GROUPS_ALGO (pointer_jump |
+    star) — both are property-tested equal and either passes this gate."""
+    import os
+
     pairs = dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), num_hashes=16, bands=4, k=3, threshold=0.5
     )
-    return dedup.dup_groups(pairs)
+    algo = os.environ.get("WSE_DUP_GROUPS_ALGO", "pointer_jump")
+    return dedup.dup_groups(pairs, algorithm=algo)
 
 
 SQL_DUP_GROUPS = f"""

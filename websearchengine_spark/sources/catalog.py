@@ -25,21 +25,36 @@ def is_table_identifier(path_or_table: str) -> bool:
 
 
 def read_table(
-    spark: SparkSession, path_or_table: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path_or_table: str,
+    snapshot_id: int | None = None,
+    schema=None,
 ) -> DataFrame:
+    """``schema``: explicit read schema (parquet path only — an Iceberg
+    table carries its own schema; on parquet it covers the empty-table
+    directory that inference cannot read)."""
     if is_table_identifier(path_or_table):
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.load(path_or_table)
-    return spark.read.parquet(path_or_table)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path_or_table)
 
 
 def write_table(df: DataFrame, path_or_table: str, mode: str = "overwrite",
-                partition_by: tuple[str, ...] = ()) -> None:
+                partition_by: tuple[str, ...] = (),
+                options: dict | None = None) -> None:
+    """``options`` are format-level writer options (e.g.
+    ``parquet.block.size``); harmless no-ops for formats that ignore
+    them."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, str(v))
     if is_table_identifier(path_or_table):
         writer.format("iceberg").saveAsTable(path_or_table)
     else:
