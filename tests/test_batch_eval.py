@@ -71,6 +71,30 @@ def test_batch_mrr_matches_driver_loop(spark, index_dir, queries_df):
     assert math.isclose(row["mrr"], round(expected, 6), abs_tol=1.5e-6)
 
 
+def test_batch_mrr_denominator_matches_driver_loop_on_misaligned_qrels(
+    spark, index_dir, queries_df
+):
+    """A qrels query_id absent from queries.tsv must be SKIPPED, not
+    counted as rr=0 (ADVICE r2: evaluation.cpp loops over queries and
+    skips ids without a qrel; reader.mrr_at does the same)."""
+    qdf, rows = queries_df
+    top20 = batch_search(qdf, index_dir, conjunctive=True, k=20,
+                         num_partitions=4)
+    qrels_df = top20.groupBy("query_id").agg(F.min("doc_id").alias("rel_doc"))
+    # inject qrels rows for query ids that are NOT in queries
+    phantom = spark.createDataFrame(
+        [(999901, 0), (999902, 1)], "query_id long, rel_doc long"
+    )
+    qrels = {r["query_id"]: r["rel_doc"] for r in qrels_df.collect()}
+    row = batch_mrr(
+        spark, qdf, qrels_df.union(phantom), index_dir, n=10
+    ).collect()[0]
+    reader = BlockIndexReader(index_dir)
+    expected = reader.mrr_at([(q, t) for q, t in rows if q in qrels], qrels, n=10)
+    assert row["n_queries"] == len(qrels)  # phantoms excluded
+    assert math.isclose(row["mrr"], round(expected, 6), abs_tol=1.5e-6)
+
+
 def test_partition_by_term_is_output_invariant(spark, index_dir, queries_df):
     qdf, _rows = queries_df
     a = sorted(

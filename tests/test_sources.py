@@ -77,6 +77,23 @@ def test_tsv_queries_qrels(spark, tmp_path):
     assert rel == {1: 42, 2: 3}
 
 
+def test_qrels_last_wins_across_files(spark, tmp_path):
+    """Duplicate query_ids straddling FILES must still resolve in file
+    order (lexicographic path order), not Spark's size-descending split
+    bin-packing — the round-2 monotonically_increasing_id approach got
+    this wrong (ADVICE r2). File b.tsv is made much larger than a.tsv so
+    bin-packing order (b first) differs from file order (a first)."""
+    d = tmp_path / "qrels_multi"
+    d.mkdir()
+    (d / "a.tsv").write_text("9\t0\t100\t1\n")
+    filler = "".join(f"{i + 1000}\t0\t{i}\t1\n" for i in range(2000))
+    (d / "b.tsv").write_text(filler + "9\t0\t200\t1\n")
+    rel = {r["query_id"]: r["rel_doc"]
+           for r in read_qrels(spark, str(d)).collect()}
+    assert rel[9] == 200  # b.tsv sorts after a.tsv → its row wins
+    assert rel[1000] == 0 and len(rel) == 2001
+
+
 # ---------------------------------------------------------------------------
 # snippets / result freqs (serving side)
 

@@ -104,7 +104,13 @@ def batch_mrr(
     of each query's relevant doc within the top-n conjunctive results, mean
     over evaluated queries. ``qrels``: (query_id, rel_doc). Returns one row
     (mrr, n_queries); the mean is an ordered fold by query_id — the same
-    deterministic float summation the exhaustive plan and oracle use."""
+    deterministic float summation the exhaustive plan and oracle use.
+
+    Denominator = queries that appear in BOTH inputs (inner join) — the
+    reference loops over queries and skips ids without a qrel
+    (evaluation.cpp:715-720), and reader.mrr_at does the same, so a qrels
+    row whose query_id is absent from ``queries`` contributes nothing
+    instead of deflating the mean."""
     results = batch_search(
         queries, index_root, conjunctive=True, k=n, num_partitions=num_partitions
     )
@@ -113,7 +119,8 @@ def batch_mrr(
         .filter(F.col("doc_id") == F.col("rel_doc"))
         .select("query_id", (F.lit(1.0) / F.col("rank")).alias("rr"))
     )
-    per_query = qrels.join(rr, "query_id", "left").select(
+    evaluated = queries.select("query_id").distinct().join(qrels, "query_id")
+    per_query = evaluated.join(rr, "query_id", "left").select(
         "query_id", F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr")
     )
     return per_query.agg(

@@ -99,30 +99,50 @@ def fake_decode_payload(payload: bytes, kind: str) -> np.ndarray:
 def frame_sample(media: DataFrame, frame_size: int = 64, max_frames: int = 4) -> DataFrame:
     """Frame/window sampler: split each payload into up to ``max_frames``
     fixed-size frames (video frames / audio windows / image tiles).
-    Arrow-batched ``mapInPandas`` — the real fan-out plumbing; the per-frame
-    checksum uses the fake decoder in place of a codec."""
+    Arrow-batched ``mapInPandas`` — the real fan-out plumbing; the
+    per-frame checksum uses the fake decoder in place of a codec.
+
+    Vectorized across the whole Arrow batch (VERDICT r2 #7): payloads are
+    zero-padded (the fake decode) and concatenated into ONE buffer, frame
+    [start, end) offsets are derived arithmetically, and checksums come
+    from a single prefix-sum (checksum[a:b) = cum[b] − cum[a]) — no
+    per-row or per-frame numpy work. The only per-frame Python is the
+    output byte-slice, which Arrow requires as discrete binary cells."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {
-                "doc_id": [], "frame_no": [], "frame_bytes": [], "frame_checksum": []
-            }
-            for doc_id, kind, payload in zip(
-                pdf["doc_id"], pdf["kind"], pdf["payload"]
-            ):
-                decoded = fake_decode_payload(bytes(payload), kind)
-                n_frames = min(
-                    max_frames, max(1, int(np.ceil(len(decoded) / frame_size)))
-                )
-                for i in range(n_frames):
-                    frame = decoded[i * frame_size : (i + 1) * frame_size]
-                    out["doc_id"].append(doc_id)
-                    out["frame_no"].append(i)
-                    out["frame_bytes"].append(frame.tobytes())
-                    out["frame_checksum"].append(
-                        int(frame.astype(np.uint64).sum())
-                    )
-            yield pd.DataFrame(out)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter(map(len, payloads), np.int64, len(payloads))
+            plens = lens + (-lens) % 16  # fake_decode_payload's padding
+            buf = b"".join(
+                p + b"\x00" * int(pad) for p, pad in zip(payloads, plens - lens)
+            )
+            n_frames = np.minimum(
+                max_frames, np.maximum(1, -(-plens // frame_size))
+            ).astype(np.int64)
+            total = int(n_frames.sum())
+            row_idx = np.repeat(np.arange(len(payloads)), n_frames)
+            frame_no = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(n_frames) - n_frames, n_frames
+            )
+            row_start = np.concatenate(([0], np.cumsum(plens)))[:-1]
+            a = row_start[row_idx] + frame_no * frame_size
+            b = np.minimum(a + frame_size, row_start[row_idx] + plens[row_idx])
+            cum = np.concatenate(
+                ([0], np.cumsum(np.frombuffer(buf, dtype=np.uint8), dtype=np.uint64))
+            )
+            checksums = (cum[b] - cum[a]).astype(np.int64)
+            doc_ids = pdf["doc_id"].to_numpy()[row_idx]
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_no": frame_no.astype(np.int32),
+                    "frame_bytes": [
+                        buf[ai:bi] for ai, bi in zip(a.tolist(), b.tolist())
+                    ],
+                    "frame_checksum": checksums,
+                }
+            )
 
     return media.select("doc_id", "kind", "payload").mapInPandas(
         sample, FRAME_SCHEMA

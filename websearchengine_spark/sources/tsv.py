@@ -4,10 +4,13 @@
 `read_relevance` (evaluation.cpp:677-694): MS-MARCO qrels
 `query_id \\t 0 \\t doc_id \\t relevance` — the reference keeps one relevant
 doc per query via hash-map overwrite, i.e. FILE-ORDER LAST-WINS on duplicate
-query_ids. Reproduced exactly: max_by(doc_id, file_position), where
-file_position = monotonically_increasing_id() — monotone in file order
-because it encodes (partition_index, row_in_partition) and CSV splits of one
-file are ordered by partition index.
+query_ids. Reproduced exactly with an EXPLICIT line-number source: each file
+is read wholetext and split into (file, line_no) rows, so last-wins is
+max_by(doc_id, (file, line_no)) regardless of how Spark bin-packs splits
+(plain CSV partition indices follow size-descending split packing, NOT file
+order, once input spans several files/splits). Qrels files are tiny by
+nature (MS MARCO: a few MB), so wholetext-per-file costs nothing; for a
+multi-file glob, "file order" is lexicographic path order.
 """
 
 from __future__ import annotations
@@ -28,13 +31,29 @@ def read_queries(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_qrels(spark: SparkSession, path: str) -> DataFrame:
-    """→ (query_id long, rel_doc long) — one relevant doc per query."""
-    raw = spark.read.csv(
-        path, sep="\t",
-        schema="query_id long, zero int, doc_id long, relevance int",
-    ).withColumn("_pos", F.monotonically_increasing_id())
+    """→ (query_id long, rel_doc long) — one relevant doc per query,
+    file-order last-wins (see module docstring for the split-order
+    guard)."""
+    lines = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("_file"),
+        F.posexplode(F.split(F.col("value"), "\r?\n")).alias("_line_no", "_line"),
+    )
+    # try_* variants: blank/short/garbage lines become NULLs and are
+    # filtered, instead of failing the ANSI cast
+    cols = F.split(F.col("_line"), "\t")
+    parsed = lines.select(
+        "_file",
+        "_line_no",
+        F.try_element_at(cols, F.lit(1)).try_cast("long").alias("query_id"),
+        F.try_element_at(cols, F.lit(3)).try_cast("long").alias("doc_id"),
+        F.try_element_at(cols, F.lit(4)).try_cast("int").alias("relevance"),
+    )
     return (
-        raw.filter(F.col("relevance") > 0)
+        parsed.filter(
+            F.col("query_id").isNotNull() & (F.col("relevance") > 0)
+        )
         .groupBy("query_id")
-        .agg(F.max_by("doc_id", "_pos").alias("rel_doc"))
+        .agg(
+            F.max_by("doc_id", F.struct("_file", "_line_no")).alias("rel_doc")
+        )
     )
