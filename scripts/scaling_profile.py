@@ -45,6 +45,11 @@ def _phase(cores: int, evdir: str) -> dict:
             "spark.eventLog.dir": f"file://{evdir}",
             "spark.eventLog.compress": "false",
             "spark.eventLog.rolling.enabled": "false",
+            # A/B knob: shuffle/cache codec (lz4 default vs zstd — trades
+            # CPU for the DRAM bandwidth that co-located cores contend on)
+            "spark.io.compression.codec": os.environ.get(
+                "SPARK_GRAFT_PROF_CODEC", "lz4"
+            ),
         },
     )
     try:

@@ -224,6 +224,34 @@ def test_ann_results_subset_of_bucket_and_exactly_scored(emb):
         assert brute[(r["query_id"], r["vec_id"])] == r["cosine"]  # exact scores
 
 
+def test_ivf_full_probe_equals_exact_topk(emb):
+    """nprobe == n_lists probes every inverted list, so IVF must reproduce
+    the exact brute-force top-k bit-for-bit (ranking AND scores)."""
+    full = similarity.ivf_topk(emb, n_queries=3, k=8, n_lists=4, nprobe=4).collect()
+    exact = similarity.cosine_topk(emb, n_queries=3, k=8).collect()
+    assert [tuple(r) for r in full] and [tuple(r) for r in full] == [
+        tuple(r) for r in exact
+    ]
+
+
+def test_ivf_probe_subset_and_exactly_scored(emb):
+    """nprobe < n_lists results come only from probed lists and carry the
+    exact (unapproximated) cosine for every returned vector."""
+    asg = {r["vec_id"]: r["list_id"] for r in similarity.ivf_assignments(emb, n_lists=4).collect()}
+    ann = similarity.ivf_topk(emb, n_queries=2, k=10, n_lists=4, nprobe=2).collect()
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in similarity.cosine_topk(emb, n_queries=2, k=29).collect()
+    }
+    assert len(ann) > 0
+    probed: dict[int, set] = {}
+    for r in ann:
+        probed.setdefault(r["query_id"], set()).add(asg[r["vec_id"]])
+        assert brute[(r["query_id"], r["vec_id"])] == r["cosine"]
+    for lists in probed.values():
+        assert len(lists) <= 2  # only nprobe lists contribute
+
+
 def test_embedding_dup_pairs_cluster(emb):
     pairs = dedup.embedding_dup_pairs(emb, threshold=0.99).collect()
     ids = {(r["vec_a"], r["vec_b"]) for r in pairs}

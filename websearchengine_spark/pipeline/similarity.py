@@ -5,6 +5,11 @@
   scale path: vectors bucket by a sign-bit signature; a query only scores
   its own bucket.
 
+- ``ivf_assignments`` / ``ivf_topk``: IVF-flat approximate NN — the second
+  scale path: vectors partition into ``n_lists`` inverted lists by nearest
+  coarse-quantizer centroid; a query scores only its ``nprobe`` nearest
+  lists.
+
 Determinism across engines: the LSH hyperplanes are pseudo-random ±1
 vectors derived from the shared md5 hash (coefficient sign = parity of
 h60(plane || ':' || dim)), and the sign decision dot(v, plane) uses
@@ -15,9 +20,14 @@ DuckDB. Final cosine scores are float64 rounded to 6.
 Scale notes: brute force is O(Q·N·d) — fine for reranking a bucket, not for
 N = 10^9. The LSH path shuffles once by bucket id (uniform by construction);
 skewed buckets (near-duplicate clusters) are handled the same way as hot
-terms in the index build — split oversized buckets by a secondary salt. An
-IVF variant (k-means coarse quantizer) would drop in at the same seam but is
-not deterministic across engines, so LSH is the checked implementation.
+terms in the index build — split oversized buckets by a secondary salt. The
+IVF path uses deterministic SAMPLED centroids (the ``n_lists`` lowest
+vec_ids), which makes the whole quantizer cross-engine exact — the
+assignment argmax runs on ROUND(cosine, 6) with a centroid-id tie-break, the
+same ulp-stability device every top-k gate uses. On a real cluster you'd
+swap in trained k-means centroids through the same broadcast seam (the
+assignment/probe plans are unchanged; random-sample init is itself a
+legitimate coarse quantizer).
 """
 
 from __future__ import annotations
@@ -222,6 +232,85 @@ def ann_lsh_topk(
             .filter(F.col("r1") <= k)
             .drop("salt", "r1")
         )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def _centroids(e: DataFrame, n_lists: int) -> DataFrame:
+    """Deterministic sampled coarse quantizer: the ``n_lists`` lowest
+    vec_ids ARE the centroids. Trained k-means centroids drop in through
+    the same broadcast seam without touching the assignment/probe plans."""
+    return e.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("list_id"), F.col("v").alias("cv")
+    )
+
+
+def ivf_assignments(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
+    """IVF coarse assignment: (vec_id, list_id) with
+    list_id = argmax_c ROUND(cosine(v, centroid_c), 6), ties → lowest
+    centroid id (the standard ulp-stability device, so the argmax is
+    cross-engine exact).
+
+    Physical plan: ONE broadcast of the centroid table against the vector
+    scan (O(N·n_lists·d) multiply-adds, a narrow map), then a map-side
+    combinable ``max_by`` hash aggregate — the shuffle carries exactly N
+    rows, no window over N·n_lists rows. At 10^9 vectors × 2^14 lists this
+    is the canonical IVF build shape (FAISS's assignment pass, distributed)."""
+    e = _as_double(embeddings)
+    scored = e.crossJoin(F.broadcast(_centroids(e, n_lists))).withColumn(
+        "sim", F.round(cosine_col(F.col("v"), F.col("cv")), 6)
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "list_id", F.struct(F.col("sim"), (-F.col("list_id")).alias("nl"))
+        ).alias("list_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate NN: per query, rank only the vectors assigned
+    to its ``nprobe`` nearest inverted lists; exact cosine + the shared
+    (cosine DESC, vec_id ASC) top-k within the probed lists.
+    (query_id, rank, vec_id, cosine). Recall < 1 vs cosine_topk by design
+    (the check is still exact — the oracle probes identically); with
+    ``nprobe == n_lists`` the probed set is the whole table and the output
+    EQUALS cosine_topk exactly (pytest-asserted).
+
+    Scale: assignments are one broadcast-join + hash-agg pass; the probe
+    join broadcasts (query × nprobe) rows against the assignment-joined
+    vector table, so a materialized list_id-partitioned layout (same seam
+    as plans/ann_index.py) serves a query from exactly nprobe partitions."""
+    e = _as_double(embeddings)
+    cents = _centroids(e, n_lists)
+    asg = ivf_assignments(embeddings, n_lists=n_lists)
+    ev = e.join(asg, "vec_id")
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(ev, "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("v")), 6))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -509,6 +509,55 @@ SELECT query_id, rank, vec_id, cosine FROM (
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (the second scale path next to LSH): deterministic
+    sampled centroids, nprobe=4 of 16 lists — the oracle probes
+    identically, so the approximate result is still exactly checked."""
+    return similarity.ivf_topk(
+        _emb(spark, sf_dir), n_queries=5, k=10, n_lists=16, nprobe=4
+    )
+
+
+SQL_IVF_TOPK = f"""
+WITH {SQL_EMB},
+cents AS (SELECT vec_id AS list_id, v AS cv FROM emb WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND({SQL_COS.format(a='e.v', b='c.cv')}, 6) DESC,
+                        c.list_id ASC) AS arn
+    FROM emb e CROSS JOIN cents c
+  ) WHERE arn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY ROUND({SQL_COS.format(a='q.qv', b='c.cv')}, 6) DESC,
+                        c.list_id ASC) AS pr
+    FROM q CROSS JOIN cents c
+  ) WHERE pr <= 4
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND({SQL_COS.format(a='q.qv', b='e.v')}, 6) AS cosine
+  FROM q JOIN probes p USING (query_id)
+       JOIN asg a ON a.list_id = p.list_id
+       JOIN emb e ON e.vec_id = a.vec_id
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT query_id::BIGINT AS query_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank,
+         vec_id::BIGINT AS vec_id, cosine
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 
@@ -676,6 +725,7 @@ def pipeline_entries() -> dict[str, tuple]:
         "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "sim_lsh_signatures": (q_lsh_signatures, SQL_LSH_SIGNATURES),
         "sim_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+        "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
         "pl_curation_pipeline": (q_curation, _sql_curation()),
         "mm_media_stats": (q_media_stats, SQL_MEDIA_STATS),
         "mm_frame_checksums": (q_frame_checksums, SQL_FRAME_CHECKSUMS),
@@ -689,6 +739,7 @@ def pipeline_bench_fns() -> dict[str, callable]:
         "pl_simhash_dup_pairs": q_simhash_pairs,
         "pl_simhash_signatures": q_simhash,        # production mapInPandas plan
         "pl_lsh_ann_topk": q_ann_lsh_topk,         # production signatures underneath
+        "pl_ivf_topk": q_ivf_topk,                 # IVF-flat, nprobe=4/16
         "pl_cosine_topk": q_cosine_topk,
         "pl_quality_score": q_quality_score,
     }
