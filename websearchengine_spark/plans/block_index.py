@@ -130,37 +130,59 @@ def _vb_blocked(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> lis
 
 
 def _make_stream_encoder(avg_dl: float, block_size: int, n_buckets: int):
-    """Partition-streaming block encoder (mapInPandas body).
+    """Partition-streaming block encoder (mapInArrow body).
 
     Input: a partition repartitioned by (term, salt) and sorted by
-    (term, salt, doc_id). The encoder is vectorized ACROSS groups — one
-    vb_encode per column per Arrow chunk, block boundaries derived from
-    group-relative row indices, reduceat for block max/min — so per-group
-    cost is O(postings), not O(1 ms) of per-group machinery. This matters:
-    ``groupBy().applyInPandas`` pays ~1-2 ms per group, which at a
-    reference-corpus-scale vocabulary (25.2M distinct terms,
-    readme_assignment.md table) is hours of pure overhead; here a
-    10^5-term chunk costs one pass of numpy.
+    (term, salt, doc_id), with (tf, dl) packed into one int64 ``tfdl``
+    (tf<<32 | dl — exact, both are bounded by a 2^31-byte Spark string).
+    The encoder is vectorized ACROSS groups — one vb_encode per column per
+    Arrow chunk, block boundaries derived from group-relative row indices,
+    reduceat for block max/min — so per-group cost is O(postings), not
+    O(1 ms) of per-group machinery. This matters: ``groupBy().
+    applyInPandas`` pays ~1-2 ms per group, which at a reference-corpus-
+    scale vocabulary (25.2M distinct terms, readme_assignment.md table) is
+    hours of pure overhead; here a 10^5-term chunk costs one pass of numpy.
+
+    Arrow-native on purpose: a pandas conversion materializes one Python
+    str object PER POSTING ROW for the term column; ``pa.compute.
+    dictionary_encode`` yields int32 codes + one dictionary entry per
+    DISTINCT term, all C++-side. At 4N co-located cores the per-row object
+    churn is DRAM traffic in the one stage that inflates worst — measured
+    1.45× core-seconds N→4N vs the tokenize stage's 1.04×.
 
     Groups may span Arrow batches inside a partition — the trailing
-    (term, salt) group of each batch is carried into the next. Blocks
-    never span a (term, salt) group, so the produced layout is
-    deterministic and independent of the partition count (each (term,
-    salt) group lives in exactly one partition and is encoded alone)."""
-    k1, b = K1, B
+    (term, salt) group of each batch is carried into the next (zero-copy
+    table slices). Blocks never span a (term, salt) group, so the produced
+    layout is deterministic and independent of the partition count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def encode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        terms = pdf["term"].to_numpy()
-        salts = pdf["salt"].to_numpy(dtype=np.int64)
+    k1, b = K1, B
+    out_type = pa.schema(
+        [
+            pa.field("term", pa.string(), False),
+            pa.field("doc_lo", pa.int64(), False),
+            pa.field("doc_hi", pa.int64(), False),
+            pa.field("n", pa.int32(), False),
+            pa.field("ids_vb", pa.binary(), False),
+            pa.field("tfs_vb", pa.binary(), False),
+            pa.field("dls_vb", pa.binary(), False),
+            pa.field("max_tfc", pa.float64(), False),
+            pa.field("min_tfc", pa.float64(), False),
+            pa.field("bucket", pa.int32(), False),
+        ]
+    )
+
+    def encode_table(t: "pa.Table") -> "pa.RecordBatch":
+        tdict = pc.dictionary_encode(t.column("term").combine_chunks())
+        tcodes = tdict.indices.to_numpy()
+        terms = tdict.dictionary  # one entry per distinct term, C++ strings
+        ids = t.column("doc_id").to_numpy()
+        tfdl = t.column("tfdl").to_numpy()
+        tfs = tfdl >> 32
+        dls = tfdl & 0xFFFFFFFF
+        salts = t.column("salt").to_numpy()
         n = len(ids)
-        # group starts: (term, salt) change points (input sorted). Term
-        # equality via factorize codes — elementwise != on an object array
-        # is a Python-level compare per row, which at ~10k rows/batch ×
-        # thousands of batches dominates single-core encode time
-        tcodes = pd.factorize(terms, sort=False)[0]
         gchg = np.nonzero((tcodes[1:] != tcodes[:-1]) | (salts[1:] != salts[:-1]))[0] + 1
         gstarts = np.concatenate(([0], gchg))
         gsizes = np.diff(np.concatenate((gstarts, [n])))
@@ -170,7 +192,6 @@ def _make_stream_encoder(avg_dl: float, block_size: int, n_buckets: int):
         starts = np.nonzero(bmask)[0]
         ends = np.concatenate((starts[1:], [n]))
         blocks_per_group = np.add.reduceat(bmask.astype(np.int64), gstarts)
-        gterms = terms[gstarts]
         # per-block delta encoding in one array: gaps everywhere, absolute
         # value at each block start
         gaps = np.empty(n, dtype=np.uint64)
@@ -181,41 +202,55 @@ def _make_stream_encoder(avg_dl: float, block_size: int, n_buckets: int):
         # exact BM25 tf-component per posting (float64, same expression
         # tree as the oracle) — block max/min give tight WAND bounds
         tfc = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
-        buckets = np.fromiter(
-            (term_bucket(t, n_buckets) for t in gterms), np.int64, len(gterms)
+        # bucket once per DISTINCT term (dictionary entry), not per group
+        dict_buckets = np.fromiter(
+            (term_bucket(s, n_buckets) for s in terms.to_pylist()),
+            np.int32,
+            len(terms),
         )
-        return pd.DataFrame(
-            {
-                "term": np.repeat(gterms, blocks_per_group),
-                "doc_lo": ids[starts],
-                "doc_hi": ids[ends - 1],
-                "n": (ends - starts).astype(np.int32),
-                "ids_vb": _vb_blocked(gaps, starts, ends),
-                "tfs_vb": _vb_blocked(tfs.astype(np.uint64), starts, ends),
-                "dls_vb": _vb_blocked(dls.astype(np.uint64), starts, ends),
-                "max_tfc": np.maximum.reduceat(tfc, starts),
-                "min_tfc": np.minimum.reduceat(tfc, starts),
-                "bucket": np.repeat(buckets, blocks_per_group).astype(np.int32),
-            },
-            columns=[f.name for f in BLOCK_SCHEMA.fields],
+        block_tcodes = np.repeat(tcodes[gstarts], blocks_per_group)
+        return pa.RecordBatch.from_arrays(
+            [
+                pc.take(terms, pa.array(block_tcodes)).cast(pa.string()),
+                pa.array(ids[starts], type=pa.int64()),
+                pa.array(ids[ends - 1], type=pa.int64()),
+                pa.array((ends - starts).astype(np.int32), type=pa.int32()),
+                pa.array(_vb_blocked(gaps, starts, ends), type=pa.binary()),
+                pa.array(
+                    _vb_blocked(tfs.astype(np.uint64), starts, ends), type=pa.binary()
+                ),
+                pa.array(
+                    _vb_blocked(dls.astype(np.uint64), starts, ends), type=pa.binary()
+                ),
+                pa.array(np.maximum.reduceat(tfc, starts), type=pa.float64()),
+                pa.array(np.minimum.reduceat(tfc, starts), type=pa.float64()),
+                pa.array(dict_buckets[block_tcodes], type=pa.int32()),
+            ],
+            schema=out_type,
         )
 
     def encode_stream(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if len(pdf) == 0:
+        carry: "pa.Table | None" = None
+        for rb in batches:
+            t = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                t = pa.concat_tables([carry, t]).combine_chunks()
+            if t.num_rows == 0:
                 continue
-            t = pd.factorize(pdf["term"].to_numpy(), sort=False)[0]
-            s = pdf["salt"].to_numpy(dtype=np.int64)
+            tcodes = pc.dictionary_encode(
+                t.column("term").combine_chunks()
+            ).indices.to_numpy()
+            salts = t.column("salt").to_numpy()
             # first row of the trailing (term, salt) group → carry it over
-            cut = int(np.argmax((t == t[-1]) & (s == s[-1])))
-            head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
-            if len(head):
-                yield encode_frame(head)
-        if carry is not None and len(carry):
-            yield encode_frame(carry)
+            chg = np.nonzero(
+                (tcodes[1:] != tcodes[:-1]) | (salts[1:] != salts[:-1])
+            )[0]
+            cut = int(chg[-1]) + 1 if len(chg) else 0
+            head, carry = t.slice(0, cut), t.slice(cut)  # zero-copy slices
+            if head.num_rows:
+                yield encode_table(head)
+        if carry is not None and carry.num_rows:
+            yield encode_table(carry)
 
     return encode_stream
 
@@ -360,15 +395,36 @@ def build_block_index(
     ]
 
     if build_buckets:
-        to_build = salted.filter(F.col("bucket").isin(build_buckets))
+        # the (term, salt) exchange is the most bandwidth-inflated stage of
+        # the build at 4N co-located cores, so the shuffled row is kept
+        # minimal: `bucket` exists only for this filter (the encoder
+        # re-derives it from the term) and (tf, dl) pack into ONE int64 —
+        # exact, since both are bounded by a 2^31-byte Spark string — which
+        # drops two 8-byte UnsafeRow slots per posting from the wire
+        to_build = salted.filter(F.col("bucket").isin(build_buckets)).select(
+            "term",
+            "salt",
+            "doc_id",
+            (F.shiftleft(F.col("tf"), 32) + F.col("dl")).alias("tfdl"),
+        )
         # shuffle by (term, salt) + in-partition sort, then a STREAMING
-        # vectorized encoder (mapInPandas) — the shuffle is the k-way merge
+        # vectorized encoder (mapInArrow) — the shuffle is the k-way merge
         # (merge_index.cpp:394-476 analogue) and the encoder has no
-        # per-group overhead (see _make_stream_encoder)
+        # per-group overhead and no per-row Python objects (see
+        # _make_stream_encoder)
+        # explicit partition count: AQE's size-based coalesce targets bytes,
+        # not slot packing — after the packed-row diet it merges the encode
+        # exchange down to a handful of partitions, and a task count that is
+        # not a multiple of the executor slots leaves cores idle in the last
+        # wave (7 tasks on 4 slots = 2 waves, one half-empty). Pinning to
+        # num_partitions (callers pass a slot multiple) keeps waves full.
+        n_exch = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
         blocks = (
-            to_build.repartition("term", "salt")
+            to_build.repartition(n_exch, "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(_make_stream_encoder(avg_dl, block_size, n_buckets), BLOCK_SCHEMA)
+            .mapInArrow(_make_stream_encoder(avg_dl, block_size, n_buckets), BLOCK_SCHEMA)
         )
         # dynamic partition overwrite → idempotent per-bucket commits.
         # Blocks are sorted by (term, doc_lo) within each bucket file and
@@ -393,6 +449,52 @@ def build_block_index(
         finally:
             spark.conf.set(batch_key, prev_batch)
 
+    # ---- finalization: the bucket-stats job and the three complete-index
+    # table writes are independent of each other, so the writes run on a
+    # thread pool while the main thread does stats + checkpoints — Spark
+    # schedules concurrently submitted jobs across the same executor slots,
+    # so the serial driver tail (job setup + py4j gaps) overlaps instead of
+    # adding up. At 4N cores that tail is a visibly larger fraction of the
+    # (shorter) wall than at N — pure Amdahl loss with no compute to show
+    # for it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    complete = len(done) + len(build_buckets) == n_buckets
+
+    def _write_lexicon():
+        write_table(
+            lexicon.withColumn(
+                "bucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
+            )
+            .repartition("bucket")
+            .sortWithinPartitions("term"),
+            paths.lexicon,
+            mode="overwrite",
+            partition_by=("bucket",),
+            options={"parquet.block.size": 256 << 10},
+        )
+
+    def _write_doc_stats():
+        write_table(doc_stats, paths.doc_stats, mode="overwrite")
+
+    def _write_meta():
+        write_table(
+            spark.createDataFrame(
+                [(build_id, n_docs, avg_dl, block_size, n_buckets, fingerprint)],
+                "build_id string, n_docs long, avg_dl double, block_size int, "
+                "n_buckets int, fingerprint string",
+            ),
+            paths.meta,
+            mode="overwrite",
+        )
+
+    pool = ThreadPoolExecutor(max_workers=3)
+    futures = (
+        [pool.submit(f) for f in (_write_lexicon, _write_doc_stats, _write_meta)]
+        if complete
+        else []
+    )
+
     # ---- per-partition (bucket) checkpoints with lineage + metrics
     wall_s = time.time() - t0
     # explicit schema: an empty corpus writes a data-less directory that
@@ -404,18 +506,46 @@ def build_block_index(
     built_blocks = read_table(spark, paths.blocks, schema=read_schema).filter(
         F.col("bucket").isin(build_buckets) if build_buckets else F.lit(False)
     )
+    # the stats scan touches ONLY (bucket, n) — parquet column pruning keeps
+    # the posting payloads (the bulk of the table) unread. At 100 TB a
+    # checkpoint-accounting pass that re-reads the index it just wrote would
+    # cost a second full-index scan. bytes_compressed is bytes ON DISK
+    # (parquet-encoded payload + footers) from a metadata-only file listing
+    # for filesystem layouts; Iceberg identifiers fall back to a payload
+    # length sum (no filesystem to stat).
     per_bucket = {
         r["bucket"]: r
         for r in built_blocks.groupBy("bucket")
         .agg(
             F.sum("n").alias("n_postings"),
             F.count(F.lit(1)).alias("n_blocks"),
-            F.sum(F.length("ids_vb") + F.length("tfs_vb") + F.length("dls_vb")).alias(
-                "bytes_compressed"
-            ),
         )
         .collect()
     }
+    if is_table_identifier(out_dir):
+        bucket_bytes = {
+            r["bucket"]: int(r["b"])
+            for r in built_blocks.groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.length("ids_vb") + F.length("tfs_vb") + F.length("dls_vb")
+                ).alias("b")
+            )
+            .collect()
+        }
+    else:
+        bucket_bytes = {}
+        for bkt in build_buckets:
+            total = 0
+            bdir = os.path.join(paths.blocks, f"bucket={bkt}")
+            if os.path.isdir(bdir):
+                for dirpath, _dirs, files in os.walk(bdir):
+                    total += sum(
+                        os.path.getsize(os.path.join(dirpath, fn))
+                        for fn in files
+                        if not fn.startswith(("_", "."))
+                    )
+            bucket_bytes[bkt] = total
     now = time.time()
     cp_rows = []
     for bkt in build_buckets:
@@ -429,7 +559,7 @@ def build_block_index(
                 fingerprint,
                 npost,
                 int(r["n_blocks"]) if r else 0,
-                int(r["bytes_compressed"]) if r else 0,
+                int(bucket_bytes.get(bkt, 0)),
                 float(wall_s),
                 float(npost / wall_s) if wall_s > 0 else 0.0,
                 float(now),
@@ -447,29 +577,9 @@ def build_block_index(
             mode="append",
         )
 
-    complete = len(done) + len(build_buckets) == n_buckets
-    if complete:
-        write_table(
-            lexicon.withColumn(
-                "bucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
-            )
-            .repartition("bucket")
-            .sortWithinPartitions("term"),
-            paths.lexicon,
-            mode="overwrite",
-            partition_by=("bucket",),
-            options={"parquet.block.size": 256 << 10},
-        )
-        write_table(doc_stats, paths.doc_stats, mode="overwrite")
-        write_table(
-            spark.createDataFrame(
-                [(build_id, n_docs, avg_dl, block_size, n_buckets, fingerprint)],
-                "build_id string, n_docs long, avg_dl double, block_size int, "
-                "n_buckets int, fingerprint string",
-            ),
-            paths.meta,
-            mode="overwrite",
-        )
+    for fut in futures:
+        fut.result()  # surface any write failure; joins the overlapped tail
+    pool.shutdown(wait=True)
 
     n_postings = sum(int(r["n_postings"]) for r in per_bucket.values())
     flat.unpersist()
