@@ -57,6 +57,15 @@ def vb_value_lengths(values: np.ndarray) -> np.ndarray:
     return ngroups
 
 
+def vb_blocked(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list[bytes]:
+    """vb-encode the whole array ONCE, then split the byte stream at block
+    boundaries (vb coding is per-value independent, so the split blobs are
+    byte-identical to encoding each block separately)."""
+    stream = vb_encode(values)
+    cum = np.concatenate(([0], np.cumsum(vb_value_lengths(values))))
+    return [stream[cum[s] : cum[e]] for s, e in zip(starts, ends)]
+
+
 def vb_decode(buf: bytes) -> np.ndarray:
     """Decode a varbyte stream back to a uint64 array (vectorized)."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -178,6 +178,125 @@ def tokenize_postings_frame(pdf: pd.DataFrame, meta_cols: list[str]) -> pd.DataF
     return frame
 
 
+def tokenize_runs_frame(pdf: pd.DataFrame, meta_cols: list[str]) -> pd.DataFrame:
+    """Batch tokenizer emitting COMPRESSED POSTING RUNS (mapInPandas body).
+
+    The Spark-first analogue of the reference's create_index spill runs
+    (create_index.cpp:116-150: per-chunk sorted (term, docID, tf) runs on
+    disk, merged by merge_index.cpp's k-way heap): each batch of docs
+    yields one row per distinct term holding that term's postings for the
+    batch, already doc-sorted and delta+varbyte encoded —
+
+      run rows: (term, n, tf_sum, ids_vb, tfs_vb, dls_vb), ~1-3 bytes per
+                posting on the wire instead of a ~40-byte shuffle row;
+      doc rows: (term=NULL, n=1, dl, doc_id + ``meta_cols``), one per doc.
+
+    Downstream the (term, salt) exchange then moves compressed runs, not
+    posting rows — at 100 TB the posting shuffle is the build's dominant
+    data movement, and runs cut its volume ~20×. df/cf aggregate from the
+    (n, tf_sum) columns without decoding. Runs are doc-ascending because
+    batches are doc-ascending; the reducer concatenates runs in partition/
+    batch order, so the merge is a concatenation, not a heap.
+
+    Vectorized exactly like :func:`tokenize_postings_frame` (one factorize,
+    one np.unique, no per-token Python), plus one lexsort to flip the
+    unique (doc, term) entries term-major and one whole-array vb encode."""
+    from itertools import chain
+
+    from websearchengine_spark.functions.codec import vb_blocked
+
+    n = len(pdf)
+    findall = WORD_RE.findall
+    lowered = pdf["text"].fillna("").str.translate(ASCII_LOWER)
+    toks = [findall(s) for s in lowered]
+    lens = np.fromiter((len(t) for t in toks), np.int64, n)
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+
+    if lens.sum() > 0:
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        codes, uniques = pd.factorize(
+            np.asarray(list(chain.from_iterable(toks)), dtype=object)
+        )
+        V = np.int64(len(uniques))
+        key = rows * V + codes
+        uk, counts = np.unique(key, return_counts=True)
+        r_idx = (uk // V).astype(np.int64)
+        c_idx = (uk % V).astype(np.int64)
+        # term-major, doc-ascending: one sort of the (doc, term) uniques
+        order = np.lexsort((r_idx, c_idx))
+        c_s, r_s, tf_s = c_idx[order], r_idx[order], counts[order].astype(np.int64)
+        post_doc = doc_ids[r_s]
+        post_dl = lens[r_s]
+        rchg = np.nonzero(c_s[1:] != c_s[:-1])[0] + 1
+        rstarts = np.concatenate(([0], rchg))
+        rends = np.concatenate((rchg, [len(c_s)]))
+        run_n = rends - rstarts
+        run_tf = np.add.reduceat(tf_s, rstarts)
+        u = post_doc.astype(np.uint64)
+        gaps = np.empty_like(u)
+        gaps[0] = u[0]
+        np.subtract(u[1:], u[:-1], out=gaps[1:])
+        gaps[rstarts] = u[rstarts]
+        ids_vb = vb_blocked(gaps, rstarts, rends)
+        tfs_vb = vb_blocked(tf_s.astype(np.uint64), rstarts, rends)
+        dls_vb = vb_blocked(post_dl.astype(np.uint64), rstarts, rends)
+        run_terms = np.asarray(uniques, dtype=object)[c_s[rstarts]]
+        k = len(rstarts)
+    else:
+        k = 0
+        run_n = run_tf = np.empty(0, dtype=np.int64)
+        ids_vb = tfs_vb = dls_vb = []
+        run_terms = np.empty(0, dtype=object)
+
+    none_runs = np.full(k, None, dtype=object)
+    out = {
+        "doc_id": pd.arrays.IntegerArray(
+            np.concatenate([np.zeros(k, dtype=np.int64), doc_ids]),
+            np.concatenate([np.ones(k, bool), np.zeros(n, bool)]),
+        ),
+        "term": np.concatenate([run_terms, np.full(n, None, dtype=object)]),
+        "n": np.concatenate([run_n, np.ones(n, dtype=np.int64)]),
+        "tf_sum": np.concatenate([run_tf, np.zeros(n, dtype=np.int64)]),
+        "dl": pd.arrays.IntegerArray(
+            np.concatenate([np.zeros(k, dtype=np.int64), lens]),
+            np.concatenate([np.ones(k, bool), np.zeros(n, bool)]),
+        ),
+        "ids_vb": np.concatenate(
+            [np.asarray(ids_vb, dtype=object), np.full(n, None, dtype=object)]
+        )
+        if k
+        else np.full(n, None, dtype=object),
+        "tfs_vb": np.concatenate(
+            [np.asarray(tfs_vb, dtype=object), np.full(n, None, dtype=object)]
+        )
+        if k
+        else np.full(n, None, dtype=object),
+        "dls_vb": np.concatenate(
+            [np.asarray(dls_vb, dtype=object), np.full(n, None, dtype=object)]
+        )
+        if k
+        else np.full(n, None, dtype=object),
+    }
+    frame = pd.DataFrame(out)
+    for c in meta_cols:
+        src = pdf[c]
+        if str(src.dtype).startswith("datetime"):
+            vals = np.full(k + n, np.datetime64("NaT"), dtype="datetime64[ns]")
+            vals[k:] = src.to_numpy(dtype="datetime64[ns]")
+            frame[c] = vals
+        elif pd.api.types.is_integer_dtype(src.dtype):
+            vals = np.concatenate(
+                [np.zeros(k, dtype=np.int64), src.to_numpy(dtype=np.int64)]
+            )
+            mask = np.concatenate([np.ones(k, bool), np.zeros(n, bool)])
+            frame[c] = pd.arrays.IntegerArray(vals, mask)
+        else:
+            vals = np.full(k + n, None, dtype=object)
+            vals[k:] = src.to_numpy(dtype=object)
+            frame[c] = vals
+    return frame
+
+
 def doc_length_series(texts: pd.Series) -> pd.Series:
     """Series[str] → Series[int64]: BM25 doc length = total token count
     (create_index.cpp:376)."""

@@ -49,8 +49,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from websearchengine_spark.functions.codec import vb_encode, vb_value_lengths
-from websearchengine_spark.functions.tokenizer import tokenize_postings_frame
+from websearchengine_spark.functions.codec import vb_decode, vb_encode, vb_value_lengths
+from websearchengine_spark.functions.tokenizer import tokenize_runs_frame
 from websearchengine_spark.operators.docids import ordered_partitions
 from websearchengine_spark.plans.build import B, K1
 from websearchengine_spark.sources.catalog import (
@@ -130,30 +130,32 @@ def _vb_blocked(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> lis
 
 
 def _make_stream_encoder(avg_dl: float, block_size: int, n_buckets: int):
-    """Partition-streaming block encoder (mapInArrow body).
+    """Partition-streaming run merger + block encoder (mapInArrow body).
 
-    Input: a partition repartitioned by (term, salt) and sorted by
-    (term, salt, doc_id), with (tf, dl) packed into one int64 ``tfdl``
-    (tf<<32 | dl — exact, both are bounded by a 2^31-byte Spark string).
-    The encoder is vectorized ACROSS groups — one vb_encode per column per
-    Arrow chunk, block boundaries derived from group-relative row indices,
-    reduceat for block max/min — so per-group cost is O(postings), not
-    O(1 ms) of per-group machinery. This matters: ``groupBy().
-    applyInPandas`` pays ~1-2 ms per group, which at a reference-corpus-
-    scale vocabulary (25.2M distinct terms, readme_assignment.md table) is
-    hours of pure overhead; here a 10^5-term chunk costs one pass of numpy.
+    Input: COMPRESSED POSTING RUNS (term, salt, run_pos, n, ids_vb,
+    tfs_vb, dls_vb) repartitioned by (term, salt) and sorted by
+    (term, salt, run_pos) — run_pos is (partition << 32 | batch), so the
+    sort restores global docID order and the "merge" is a concatenation
+    (the reference's merge_index.cpp:394-476 k-way heap exists because its
+    runs interleave docIDs; range-partitioned runs don't). Per (term, salt)
+    group the merger decodes the concatenated runs (one vectorized
+    vb_decode per column, segmented cumsum for the per-run delta restart)
+    and re-chunks them into fixed-size blocks.
+
+    Vectorized ACROSS groups — block boundaries from group-relative row
+    indices, reduceat for block max/min — so per-group cost is O(postings),
+    not O(1 ms) of per-group machinery (``groupBy().applyInPandas`` pays
+    that per group, which at a reference-corpus-scale vocabulary — 25.2M
+    distinct terms, readme_assignment.md table — is hours of overhead).
 
     Arrow-native on purpose: a pandas conversion materializes one Python
-    str object PER POSTING ROW for the term column; ``pa.compute.
+    str object per row for the term column; ``pa.compute.
     dictionary_encode`` yields int32 codes + one dictionary entry per
-    DISTINCT term, all C++-side. At 4N co-located cores the per-row object
-    churn is DRAM traffic in the one stage that inflates worst — measured
-    1.45× core-seconds N→4N vs the tokenize stage's 1.04×.
+    DISTINCT term, all C++-side.
 
     Groups may span Arrow batches inside a partition — the trailing
     (term, salt) group of each batch is carried into the next (zero-copy
-    table slices). Blocks never span a (term, salt) group, so the produced
-    layout is deterministic and independent of the partition count."""
+    table slices). Blocks never span a (term, salt) group."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -175,25 +177,41 @@ def _make_stream_encoder(avg_dl: float, block_size: int, n_buckets: int):
 
     def encode_table(t: "pa.Table") -> "pa.RecordBatch":
         tdict = pc.dictionary_encode(t.column("term").combine_chunks())
-        tcodes = tdict.indices.to_numpy()
+        run_tcodes = tdict.indices.to_numpy()
         terms = tdict.dictionary  # one entry per distinct term, C++ strings
-        ids = t.column("doc_id").to_numpy()
-        tfdl = t.column("tfdl").to_numpy()
-        tfs = tfdl >> 32
-        dls = tfdl & 0xFFFFFFFF
-        salts = t.column("salt").to_numpy()
-        n = len(ids)
-        gchg = np.nonzero((tcodes[1:] != tcodes[:-1]) | (salts[1:] != salts[:-1]))[0] + 1
-        gstarts = np.concatenate(([0], gchg))
+        run_salts = t.column("salt").to_numpy()
+        run_ns = t.column("n").to_numpy()
+        # decode the concatenated runs: one vb_decode per column for the
+        # WHOLE batch, then a segmented cumsum restores absolute docIDs
+        # (each run is [first, gap, gap, ...])
+        ids_stream = b"".join(t.column("ids_vb").to_pylist())
+        vals = vb_decode(ids_stream)
+        n = len(vals)
+        run_starts = np.concatenate(([0], np.cumsum(run_ns)[:-1])).astype(np.int64)
+        c = np.cumsum(vals, dtype=np.uint64)
+        base = (c - vals)[run_starts]  # prefix sum before each run
+        ids = (c - np.repeat(base, run_ns)).astype(np.int64)
+        tfs = vb_decode(b"".join(t.column("tfs_vb").to_pylist())).astype(np.int64)
+        dls = vb_decode(b"".join(t.column("dls_vb").to_pylist())).astype(np.int64)
+        # (term, salt) group changes at RUN level → posting-level starts
+        g_run = (
+            np.nonzero(
+                (run_tcodes[1:] != run_tcodes[:-1])
+                | (run_salts[1:] != run_salts[:-1])
+            )[0]
+            + 1
+        )
+        g_run_starts = np.concatenate(([0], g_run))
+        gstarts = run_starts[g_run_starts]
         gsizes = np.diff(np.concatenate((gstarts, [n])))
-        # block boundaries: every block_size rows WITHIN a group
+        # block boundaries: every block_size postings WITHIN a group
         rel = np.arange(n, dtype=np.int64) - np.repeat(gstarts, gsizes)
         bmask = (rel % block_size) == 0
         starts = np.nonzero(bmask)[0]
         ends = np.concatenate((starts[1:], [n]))
         blocks_per_group = np.add.reduceat(bmask.astype(np.int64), gstarts)
-        # per-block delta encoding in one array: gaps everywhere, absolute
-        # value at each block start
+        # per-block delta re-encoding in one array: gaps everywhere,
+        # absolute value at each block start
         gaps = np.empty(n, dtype=np.uint64)
         u = ids.astype(np.uint64)
         gaps[0] = u[0]
@@ -208,7 +226,7 @@ def _make_stream_encoder(avg_dl: float, block_size: int, n_buckets: int):
             np.int32,
             len(terms),
         )
-        block_tcodes = np.repeat(tcodes[gstarts], blocks_per_group)
+        block_tcodes = np.repeat(run_tcodes[g_run_starts], blocks_per_group)
         return pa.RecordBatch.from_arrays(
             [
                 pc.take(terms, pa.array(block_tcodes)).cast(pa.string()),
@@ -284,14 +302,20 @@ def build_block_index(
     paths = BlockIndexPaths(out_dir)
     t0 = time.time()
 
-    # Assign docIDs and tokenize in ONE fused mapInPandas over the
-    # range-partitioned input (one Python/Arrow crossing of the text column
-    # instead of two), emitting FLAT rows (no nested list<struct>, no
-    # explode): posting rows (term, tf, dl) plus one term-NULL doc-stat row
-    # per doc carrying the metadata columns. postings, doc_stats, lexicon,
-    # and corpus stats are all cheap filters of this one cached frame — at
-    # 100 TB the tokenizer is the single most expensive stage, so it runs
-    # once, stays off per-row Python, and skips the explode shuffle blowup.
+    # Assign docIDs, tokenize, and RUN-ENCODE in ONE fused mapInPandas over
+    # the range-partitioned input (one Python/Arrow crossing of the text
+    # column), emitting FLAT rows: per (term, batch) one COMPRESSED RUN —
+    # that term's batch postings doc-sorted and delta+varbyte encoded
+    # (~1-3 B/posting) — plus one term-NULL doc-stat row per doc carrying
+    # the metadata columns. This is the reference's create_index spill-run
+    # pass (create_index.cpp:116-150) as a Spark stage: runs, doc_stats,
+    # lexicon, and corpus stats are all cheap filters/aggs of this one
+    # cached frame, and the (term, salt) exchange downstream moves
+    # compressed runs instead of ~40-byte posting rows. At 100 TB the
+    # posting shuffle is the build's dominant data movement — and on
+    # co-located cores its DRAM traffic is what breaks N→4N scaling — so
+    # the ~20× volume cut is the difference between a merge that scales
+    # and one that saturates the fabric.
     from pyspark import TaskContext
 
     part, offsets = ordered_partitions(
@@ -299,9 +323,11 @@ def build_block_index(
         order_cols=("conv_id", "turn_idx"),
         num_partitions=num_partitions,
     )
+    n_parts = part.rdd.getNumPartitions()
     meta_cols = ["conv_id", "turn_idx", "role", "tool", "ts"]
     flat_schema = (
-        "doc_id long, term string, tf long, dl long, "
+        "doc_id long, term string, n long, tf_sum long, dl long, "
+        "ids_vb binary, tfs_vb binary, dls_vb binary, run_pos long, "
         "conv_id string, turn_idx int, role string, tool string, ts timestamp"
     )
 
@@ -310,11 +336,16 @@ def build_block_index(
 
         pid = TaskContext.get().partitionId()
         seen = offsets.get(pid, 0)
-        for pdf in batches:
+        for bi, pdf in enumerate(batches):
             pdf = pdf.copy()
             pdf["doc_id"] = _np.arange(seen, seen + len(pdf), dtype=_np.int64)
             seen += len(pdf)
-            yield tokenize_postings_frame(pdf, meta_cols)
+            out = tokenize_runs_frame(pdf, meta_cols)
+            # global run order = (partition, batch): batches are doc-
+            # ascending within a partition and partitions are doc-ranged,
+            # so sorting runs by run_pos restores global docID order
+            out.insert(8, "run_pos", _np.int64((pid << 32) | bi))
+            yield out
 
     flat = part.mapInPandas(_ids_and_tokenize, flat_schema).persist()
 
@@ -322,20 +353,20 @@ def build_block_index(
         "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
         F.col("dl").alias("term_cnt"),
     )
-    postings = flat.filter(F.col("term").isNotNull()).select(
-        "term", "doc_id", "tf", "dl"
+    runs = flat.filter(F.col("term").isNotNull()).select(
+        "term", "run_pos", "n", "ids_vb", "tfs_vb", "dls_vb"
     )
 
     # ONE aggregation job yields corpus stats, the full lexicon, and the
-    # hot-term set: the term-NULL doc-stat group IS the corpus-stats row
-    # (df of the NULL group = n_docs, avg dl over it = avg_dl), non-null
-    # groups are lexicon rows, hot terms are the df > threshold subset.
+    # hot-term set — WITHOUT decoding any run: df = Σ n (doc rows carry
+    # n=1, so the term-NULL group's df IS n_docs), cf = Σ tf_sum, and the
+    # NULL group's avg(dl) over doc rows is avg_dl.
     term_agg = flat.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sum("tf").alias("cf"),
+        F.sum("n").alias("df"),
+        F.sum("tf_sum").alias("cf"),
         F.avg("dl").alias("avg_dl_in_group"),
     ).persist()  # vocab-sized; reused by the lexicon write (saves a full
-    #              re-aggregation pass over the postings at write time)
+    #              re-aggregation pass over the runs at write time)
     head = term_agg.filter(F.col("term").isNull()).collect()  # 1 row
     n_docs = int(head[0]["df"]) if head else 0
     avg_dl = float(head[0]["avg_dl_in_group"] or 0.0) if head else 0.0
@@ -357,14 +388,19 @@ def build_block_index(
         F.ceil(F.col("df") / F.lit(target_group_size)).cast("int").alias("n_salt"),
     )
     salted = (
-        postings.join(F.broadcast(hot_df), "term", "left")
+        runs.join(F.broadcast(hot_df), "term", "left")
         .withColumn(
-            # contiguous docID ranges per salt ⇒ salted sub-lists concatenate
-            # back into globally sorted posting order
+            # salt = partition-range split: partitions are contiguous docID
+            # ranges, so salted sub-lists are disjoint docID ranges and
+            # concatenate back into globally sorted posting order — the
+            # same contiguity the old per-docID split gave, assignable
+            # per RUN without decoding it. Group size stays bounded by
+            # ~max(target_group_size, df / n_partitions).
             "salt",
             (
-                F.col("doc_id") * F.coalesce(F.col("n_salt"), F.lit(1))
-                / F.lit(max(n_docs, 1))
+                F.shiftright("run_pos", 32)
+                * F.coalesce(F.col("n_salt"), F.lit(1))
+                / F.lit(max(n_parts, 1))
             ).cast("int"),
         )
         .drop("n_salt")
@@ -395,23 +431,18 @@ def build_block_index(
     ]
 
     if build_buckets:
-        # the (term, salt) exchange is the most bandwidth-inflated stage of
-        # the build at 4N co-located cores, so the shuffled row is kept
-        # minimal: `bucket` exists only for this filter (the encoder
-        # re-derives it from the term) and (tf, dl) pack into ONE int64 —
-        # exact, since both are bounded by a 2^31-byte Spark string — which
-        # drops two 8-byte UnsafeRow slots per posting from the wire
+        # `bucket` exists only for this filter — the encoder re-derives it
+        # from the term, so it stays off the wire
         to_build = salted.filter(F.col("bucket").isin(build_buckets)).select(
-            "term",
-            "salt",
-            "doc_id",
-            (F.shiftleft(F.col("tf"), 32) + F.col("dl")).alias("tfdl"),
+            "term", "salt", "run_pos", "n", "ids_vb", "tfs_vb", "dls_vb"
         )
-        # shuffle by (term, salt) + in-partition sort, then a STREAMING
-        # vectorized encoder (mapInArrow) — the shuffle is the k-way merge
-        # (merge_index.cpp:394-476 analogue) and the encoder has no
-        # per-group overhead and no per-row Python objects (see
-        # _make_stream_encoder)
+        # shuffle COMPRESSED RUNS by (term, salt) + in-partition sort by
+        # run_pos (= global docID order), then a STREAMING vectorized
+        # merger (mapInArrow) that concatenates each group's runs and
+        # re-chunks them into fixed-size blocks — the shuffle is the k-way
+        # merge (merge_index.cpp:394-476 analogue) moving ~1-3 B/posting,
+        # and the merger has no per-group overhead and no per-row Python
+        # objects (see _make_stream_encoder)
         # explicit partition count: AQE's size-based coalesce targets bytes,
         # not slot packing — after the packed-row diet it merges the encode
         # exchange down to a handful of partitions, and a task count that is
@@ -423,7 +454,7 @@ def build_block_index(
         )
         blocks = (
             to_build.repartition(n_exch, "term", "salt")
-            .sortWithinPartitions("term", "salt", "doc_id")
+            .sortWithinPartitions("term", "salt", "run_pos")
             .mapInArrow(_make_stream_encoder(avg_dl, block_size, n_buckets), BLOCK_SCHEMA)
         )
         # dynamic partition overwrite → idempotent per-bucket commits.
@@ -431,13 +462,12 @@ def build_block_index(
         # written with small row groups so the serving reader's predicate
         # pushdown prunes to the few row groups holding the query terms
         # (parquet min/max stats on `term`) instead of scanning the bucket.
-        # Posting rows are ~40 bytes — large Arrow batches amortize the
-        # per-batch carry/split overhead of the streaming encoder (the
-        # tokenize stage upstream is already materialized in the cache, so
-        # this setting only shapes the encoder's input batches).
+        # Run rows carry whole compressed posting runs, so a moderate batch
+        # size already amortizes the merger's carry/split overhead while
+        # keeping the decoded per-batch arrays in cache-friendly territory.
         batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
         prev_batch = spark.conf.get(batch_key, "10000")
-        spark.conf.set(batch_key, str(1 << 17))
+        spark.conf.set(batch_key, str(1 << 15))
         try:
             write_table(
                 blocks.repartition("bucket").sortWithinPartitions("term", "doc_lo"),
