@@ -51,6 +51,15 @@ SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REPLICATE", "2
 # per-parallelism trials; best-of-N isolates machine capability from
 # sandbox noise (CI neighbors, GC timing) — both levels get the same N
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+# scaling cycles: the host's contention drifts on MINUTE scale by 2-3x
+# (measured: the encode stage's core-seconds swung 26→92 s between two
+# adjacent runs of identical work), so sampling each level once risks
+# pairing a clean window at one level with a contended window at the
+# other — efficiency then measures the noise, not the plan. Running the
+# (lo, hi) cycle twice and taking best-of PER LEVEL estimates each
+# level's uncontended throughput; their ratio is the plan's scaling.
+# All per-cycle samples are embedded in the JSON for audit.
+SCALING_CYCLES = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_CYCLES", "2"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_BENCH_NO_SCALING", "") == "1"
 # index/scratch output on tmpfs when present: the sandbox's single ~300 MB/s
 # virtual disk serializes otherwise-parallel writes (a cluster's local disks
@@ -295,7 +304,7 @@ def _timed_build(spark, transcripts, n_turns: int, out_dir: str, tag: str,
 
 
 def _run_at(master_cores: int, tag: str, results: dict, scaling_only: bool,
-            replicate: int = REPLICATE):
+            replicate: int = REPLICATE, trials: int | None = None):
     """One SparkSession at local[master_cores]; returns after spark.stop()."""
     from websearchengine_spark.session import get_spark
 
@@ -322,7 +331,10 @@ def _run_at(master_cores: int, tag: str, results: dict, scaling_only: bool,
 
         # the 1-core level is empirically stable (±3%); the multi-core
         # levels carry the sandbox noise — spend the extra trial there
-        n_trials = max(2, TRIALS - 1) if master_cores == SCALING_N else TRIALS
+        if trials is not None:
+            n_trials = trials
+        else:
+            n_trials = max(2, TRIALS - 1) if master_cores == SCALING_N else TRIALS
         best_wall, tmp = None, None
         for trial in range(n_trials):
             ttmp = tempfile.mkdtemp(prefix=f"wse_bench_{tag}{trial}_", dir=TMP_ROOT)
@@ -436,7 +448,8 @@ def _run_at(master_cores: int, tag: str, results: dict, scaling_only: bool,
         spark.stop()
 
 
-def _run_phase_subprocess(cores: int, tag: str, replicate: int) -> dict:
+def _run_phase_subprocess(cores: int, tag: str, replicate: int,
+                          trials: int | None = None) -> dict:
     """Run one scaling phase in a FRESH Python subprocess pinned (taskset)
     to exactly ``cores`` CPUs.
 
@@ -455,7 +468,11 @@ def _run_phase_subprocess(cores: int, tag: str, replicate: int) -> dict:
     import subprocess
     import sys
 
-    cpu_list = ",".join(str(c) for c in sorted(os.sched_getaffinity(0))[:cores])
+    # last N CPUs, not first: CPU 0 carries kernel housekeeping/interrupts
+    # on a shared host, so pinning the 1-core level there systematically
+    # slows it and INFLATES measured efficiency (observed: the pure-integer
+    # control itself read 1.145 "efficiency" under first-N pinning)
+    cpu_list = ",".join(str(c) for c in sorted(os.sched_getaffinity(0))[-cores:])
     pin = (
         ["taskset", "-c", cpu_list] if _shutil.which("taskset") else []
     )  # unpinned fallback keeps the bench alive on hosts without util-linux
@@ -464,7 +481,7 @@ def _run_phase_subprocess(cores: int, tag: str, replicate: int) -> dict:
             "import json, bench\n"
             "results = {}\n"
             f"bench._run_at({cores}, {tag!r}, results, scaling_only=True, "
-            f"replicate={replicate})\n"
+            f"replicate={replicate}, trials={trials})\n"
             # controls run AFTER the build trials, inside the same CPU
             # pinning — sequential, never concurrent with a measurement
             f"results.update(bench._controls({cores}))\n"
@@ -483,15 +500,42 @@ def main() -> None:
     results: dict = {}
     ctrls: dict = {}
     lo, hi = SCALING_N, SCALING_N * 4
+    tput_samples: dict[int, list] = {lo: [], hi: []}
 
     if not SKIP_SCALING:
-        for cores, tag in ((lo, "lo"), (hi, "mid")):
-            sub = _run_phase_subprocess(cores, tag, SCALING_REPLICATE)
-            results.setdefault("_tput", {}).update(
-                {int(k): v for k, v in sub.pop("_tput", {}).items()}
-            )
-            ctrls[cores] = sub.pop("_ctrl", None)
-            results.update(sub)
+        ctrl_samples: dict[int, list] = {lo: [], hi: []}
+        walls: dict[str, float] = {}
+        # 2 trials per level per cycle: an interleaved A/B on one pinned
+        # core showed the host drifting 10.2k → 8.2k turns/s on the SAME
+        # CPU within 10 minutes, so the best-of estimate needs ≥4 samples
+        # per level spread across windows before it credibly approximates
+        # the uncontended machine (2 samples recorded a nonsense 1.73
+        # "efficiency" when both 1-core windows landed in one burst)
+        trials_per = (
+            {lo: 2, hi: 2}
+            if SCALING_CYCLES > 1
+            else {lo: max(2, TRIALS - 1), hi: TRIALS}
+        )
+        for cycle in range(SCALING_CYCLES):
+            for cores, tag in ((lo, "lo"), (hi, "mid")):
+                sub = _run_phase_subprocess(
+                    cores, f"{tag}{cycle}", SCALING_REPLICATE, trials_per[cores]
+                )
+                tp = {int(k): v for k, v in sub.pop("_tput", {}).items()}
+                tput_samples[cores].append(tp[cores])
+                c = sub.pop("_ctrl", None)
+                if c:
+                    ctrl_samples[cores].append(c)
+                for k, v in sub.items():  # per-level build walls: keep best
+                    walls[k] = min(walls.get(k, v), v)
+        results.update(walls)
+        # best-of per level across cycles ≈ each level's uncontended
+        # throughput; controls likewise (they are ceiling estimates)
+        results["_tput"] = {c: max(s) for c, s in tput_samples.items() if s}
+        ctrls = {
+            c: {m: max(x[m] for x in cs) for m in cs[0]} if cs else None
+            for c, cs in ctrl_samples.items()
+        }
     tmp = _run_at(CPUS, "hi", results, scaling_only=False)
     if tmp:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -504,8 +548,12 @@ def main() -> None:
             "cores_lo": lo,
             "cores_hi": hi,
             "replicate": SCALING_REPLICATE,
+            "cycles": SCALING_CYCLES,
             "turns_per_sec_lo": round(tput[lo], 1),
             "turns_per_sec_hi": round(tput[hi], 1),
+            "samples_turns_per_sec": {
+                str(c): [round(x, 1) for x in s] for c, s in tput_samples.items()
+            },
             "efficiency": round(eff, 3),
         }
         if ctrls.get(lo) and ctrls.get(hi):

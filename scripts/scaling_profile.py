@@ -126,7 +126,7 @@ def main() -> None:
                 f"json.dump(r, open({f.name!r}, 'w'))\n"
             )
             cpu_list = ",".join(
-                str(c) for c in sorted(os.sched_getaffinity(0))[:cores]
+                str(c) for c in sorted(os.sched_getaffinity(0))[-cores:]
             )
             pin = ["taskset", "-c", cpu_list] if shutil.which("taskset") else []
             subprocess.run(
