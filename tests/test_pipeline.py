@@ -358,3 +358,70 @@ def test_ann_lsh_topk_pre_salt_rank_identical(emb_skewed):
         ).collect()
     )
     assert plain == salted and len(plain) == 30
+
+
+# ---------------------------------------------------------------------------
+# pack.py: sequence packing + train/val split; textstats.rep_stats
+
+
+def test_seq_pack_spans_and_partition_invariance(spark):
+    # 5 docs with known token counts: 3, 0, 4, 2, 5 → starts 0,3,3,7,9
+    rows = [
+        (10, "a b c"),
+        (11, ""),
+        (12, "d e f g"),
+        (13, "h i"),
+        (14, "j k l m n"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    from websearchengine_spark.pipeline.pack import seq_pack
+
+    out = {r["doc_id"]: r.asDict() for r in seq_pack(d, seq_len=4).collect()}
+    assert [out[i]["token_start"] for i in (10, 11, 12, 13, 14)] == [0, 3, 3, 7, 9]
+    # doc 10: tokens [0,3) → pack 0 only; doc 12: [3,7) → packs 0-1;
+    # doc 14: [9,14) → packs 2-3; empty doc spans 0 packs
+    assert (out[10]["first_pack"], out[10]["last_pack"], out[10]["n_packs"]) == (0, 0, 1)
+    assert (out[12]["first_pack"], out[12]["last_pack"], out[12]["n_packs"]) == (0, 1, 2)
+    assert (out[14]["first_pack"], out[14]["last_pack"], out[14]["n_packs"]) == (2, 3, 2)
+    assert out[11]["n_packs"] == 0
+    # partition-count invariance: the spans depend only on doc_id order
+    for nparts in (1, 3, 7):
+        again = {
+            r["doc_id"]: r.asDict()
+            for r in seq_pack(d, seq_len=4, num_partitions=nparts).collect()
+        }
+        assert again == out
+
+
+def test_train_val_split_deterministic_and_thresholded(docs):
+    from websearchengine_spark.pipeline.pack import train_val_split
+
+    out = {r["doc_id"]: (r["h_mod"], r["split"]) for r in train_val_split(docs).collect()}
+    for h, s in out.values():
+        assert 0 <= h < 1000
+        assert s == ("val" if h >= 950 else "train")
+    # content-keyed: exact-dup docs 0 and 1 land in the same split
+    assert out[0] == out[1]
+    # stable across re-evaluation
+    assert out == {
+        r["doc_id"]: (r["h_mod"], r["split"]) for r in train_val_split(docs).collect()
+    }
+
+
+def test_rep_stats_known_values(spark):
+    rows = [
+        # 3 non-empty lines, one duplicated; tokens: the(3) cat(2) sat(1)
+        (0, "the cat\nthe cat\n\nthe sat"),
+        (1, ""),                       # no lines, no tokens
+        (2, "unique words only here"),  # no repetition
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in textstats.rep_stats(d).collect()}
+    assert out[0]["n_lines"] == 3
+    assert out[0]["dup_line_frac"] == pytest.approx(1.0 - 2.0 / 3.0, abs=1e-6)
+    assert out[0]["max_line_len"] == 7
+    assert out[0]["top_token_frac"] == pytest.approx(3.0 / 6.0, abs=1e-6)
+    assert out[1]["n_lines"] == 0 and out[1]["dup_line_frac"] == 0.0
+    assert out[1]["max_line_len"] == 0 and out[1]["top_token_frac"] == 0.0
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_token_frac"] == pytest.approx(0.25, abs=1e-6)

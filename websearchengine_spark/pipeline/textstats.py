@@ -117,6 +117,71 @@ def fingerprint(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def rep_stats(docs: DataFrame) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 rule family):
+    duplicate-line fraction, longest line, and most-frequent-token fraction.
+    (doc_id, n_lines, dup_line_frac, max_line_len, top_token_frac).
+
+    All narrow JVM column expressions — zero shuffle at any corpus size.
+    The top-token count folds over the SORTED token array with a
+    (prev, run, best) struct accumulator (max run in a sorted array = max
+    frequency), instead of the explode→groupBy→max plan that would shuffle
+    every token; the DuckDB oracle uses unnest+GROUP BY — mechanically
+    different, numerically identical, which is exactly what the gate checks.
+    Lines are newline splits with empties dropped (C4 counts non-empty
+    lines); both engines compare raw strings, no trimming."""
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: x != "")
+    n_lines = F.size(lines)
+    # project toks/sorted into columns first: HOF lambdas re-evaluate outer
+    # subexpressions per element (no CSE across the lambda boundary)
+    projected = docs.select(
+        "doc_id",
+        lines.alias("ls"),
+        F.array_sort(tokens(F.col("text"))).alias("s"),
+    )
+    zero = F.lit(0).cast("long")
+    fold = F.aggregate(
+        F.col("s"),
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            ).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+    )
+    nl = F.size(F.col("ls"))
+    nt = F.size(F.col("s")).cast("double")
+    return projected.select(
+        "doc_id",
+        nl.cast("long").alias("n_lines"),
+        F.round(
+            F.when(
+                nl > 0,
+                1.0 - F.size(F.array_distinct(F.col("ls"))).cast("double") / nl,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+        F.coalesce(
+            F.array_max(F.transform(F.col("ls"), F.length)), F.lit(0)
+        ).cast("long").alias("max_line_len"),
+        F.round(
+            F.when(nt > 0, fold["best"].cast("double") / nt).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("top_token_frac"),
+    )
+
+
 BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 # ^ subword-style pre-tokenization over lowered text: letter runs, digit
 #   runs, and single non-alnum marks — the GPT-2-style pre-tokenizer shape

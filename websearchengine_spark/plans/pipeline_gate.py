@@ -109,6 +109,77 @@ SELECT doc_id, {pred} AS lang_pred, ROUND(best, 6) AS lang_confidence FROM b
 """
 
 
+def q_rep_stats(spark, sf_dir):
+    return textstats.rep_stats(_docs(spark, sf_dir))
+
+
+SQL_REP_STATS = f"""
+WITH {SQL_TOKS},
+tf AS (
+  SELECT doc_id, max(c)::BIGINT AS top_cnt
+  FROM (SELECT doc_id, t, count(*) AS c
+        FROM toks, unnest(l) AS u(t) GROUP BY doc_id, t)
+  GROUP BY doc_id
+),
+ln AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+  FROM documents
+)
+SELECT tk.doc_id,
+       len(ls)::BIGINT AS n_lines,
+       ROUND(CASE WHEN len(ls) > 0
+             THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+             ELSE 0.0 END, 6) AS dup_line_frac,
+       COALESCE(list_max(list_transform(ls, x -> len(x))), 0)::BIGINT
+         AS max_line_len,
+       ROUND(CASE WHEN len(l) > 0
+             THEN COALESCE(top_cnt, 0)::DOUBLE / len(l)
+             ELSE 0.0 END, 6) AS top_token_frac
+FROM toks tk JOIN ln USING (doc_id) LEFT JOIN tf USING (doc_id)
+"""
+
+
+def q_seq_pack(spark, sf_dir):
+    from websearchengine_spark.pipeline.pack import seq_pack
+
+    return seq_pack(_docs(spark, sf_dir), seq_len=2048)
+
+
+SQL_SEQ_PACK = f"""
+WITH {SQL_TOKS},
+t AS (SELECT doc_id, len(l)::BIGINT AS n_tokens FROM toks),
+c AS (SELECT doc_id, n_tokens,
+      COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        AS token_start
+      FROM t),
+p AS (SELECT doc_id, n_tokens, token_start,
+        token_start // 2048 AS fp,
+        CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 2048
+             ELSE token_start // 2048 END AS lp
+      FROM c)
+SELECT doc_id, n_tokens, token_start,
+       fp::BIGINT AS first_pack, lp::BIGINT AS last_pack,
+       (CASE WHEN n_tokens > 0 THEN lp - fp + 1 ELSE 0 END)::BIGINT AS n_packs
+FROM p
+"""
+
+
+def q_train_val_split(spark, sf_dir):
+    from websearchengine_spark.pipeline.pack import train_val_split
+
+    return train_val_split(_docs(spark, sf_dir), val_permille=50)
+
+
+_H_TEXT = sql_h60("text")
+SQL_TRAIN_VAL_SPLIT = f"""
+SELECT doc_id,
+       ({_H_TEXT} % 1000)::BIGINT AS h_mod,
+       CASE WHEN ({_H_TEXT} % 1000) >= 950 THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
@@ -698,6 +769,9 @@ def pipeline_entries() -> dict[str, tuple]:
         "ts_lang_id": (q_lang_id, _sql_lang_id()),
         "ts_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "ts_bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
+        "ts_rep_stats": (q_rep_stats, SQL_REP_STATS),
+        "pl_seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+        "pl_train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
         "ev_windowed_stats": (q_windowed_stats, SQL_WINDOWED_STATS),
         "ev_user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
         "ev_props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
