@@ -15,7 +15,7 @@ import math
 import numpy as np
 import pytest
 
-from websearchengine_spark.functions.codec import decode_ids, vb_decode
+from websearchengine_spark.functions.codec import vb_decode
 from websearchengine_spark.operators.wand import BlockIndexReader
 from websearchengine_spark.plans.block_index import build_block_index
 
@@ -90,7 +90,10 @@ def test_block_invariants(spark, index_dir, oracle):
         prev_hi = -1
         seen = {}
         for blk in blks:
-            ids = decode_ids(blk["ids_vb"]).astype(np.int64)
+            # block-head gap is from (doc_lo - 1): base + cumsum of gaps
+            ids = (
+                blk["doc_lo"] - 1 + np.cumsum(vb_decode(blk["ids_vb"]))
+            ).astype(np.int64)
             tfs = vb_decode(blk["tfs_vb"])
             dls = vb_decode(blk["dls_vb"])
             assert blk["doc_lo"] == ids[0] and blk["doc_hi"] == ids[-1]

@@ -47,7 +47,7 @@ import numpy as np
 import pyarrow.dataset as ds
 import pyarrow.parquet as pq
 
-from websearchengine_spark.functions.codec import decode_ids, vb_decode
+from websearchengine_spark.functions.codec import vb_decode
 from websearchengine_spark.functions.tokenizer import clean_query
 from websearchengine_spark.plans.block_index import BlockIndexPaths, term_bucket
 
@@ -111,7 +111,11 @@ class TermCursor:
     def _decode(self):
         if self.bi < len(self.blocks):
             b = self.blocks[self.bi]
-            self.ids = decode_ids(b.ids_vb).astype(np.int64)
+            # ids_vb holds gaps with the block head measured from doc_lo - 1
+            self.ids = (
+                np.int64(b.doc_lo - 1)
+                + np.cumsum(vb_decode(b.ids_vb), dtype=np.uint64).astype(np.int64)
+            )
             self.tfs = vb_decode(b.tfs_vb)
             self.dls = vb_decode(b.dls_vb)
         else:
@@ -177,6 +181,13 @@ class BlockIndexReader:
                  taat_threshold: int = 5_000_000, dense_docs_max: int = 1 << 26):
         self.paths = BlockIndexPaths(root)
         meta = pq.read_table(self.paths.meta).to_pylist()[0]
+        fmt = int(meta.get("block_format", 1))
+        if fmt != 2:
+            raise ValueError(
+                f"index at {root} has block_format {fmt}; this reader "
+                "requires format 2 (block-head gap from doc_lo - 1) — "
+                "rebuild the index"
+            )
         self.n_docs = int(meta["n_docs"])
         self.avg_dl = float(meta["avg_dl"])
         self.n_buckets = int(meta["n_buckets"])
@@ -290,7 +301,14 @@ class BlockIndexReader:
                 starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
                 raw = vb_decode(b"".join(ids_vb[i] for i in idxs))
                 cs = np.cumsum(raw, dtype=np.uint64)
-                offsets = cs[starts] - raw[starts]
+                # block-head gaps are measured from (doc_lo - 1), so the
+                # per-block offset folds the metadata base back in; uint64
+                # wraparound in the intermediate is exact under mod-2^64
+                offsets = (
+                    cs[starts] - raw[starts]
+                    + np.uint64(1)
+                    - lo[idxs].astype(np.uint64)
+                )
                 ids = (cs - np.repeat(offsets, ns)).astype(np.int64)
                 tfs = vb_decode(b"".join(tfs_vb[i] for i in idxs)).astype(np.float64)
                 dls = vb_decode(b"".join(dls_vb[i] for i in idxs)).astype(np.float64)
@@ -547,7 +565,11 @@ class BlockIndexReader:
                     st = np.concatenate(([0], np.cumsum(mns)[:-1]))
                     raw = vb_decode(b"".join(blks[bi].ids_vb for bi in miss))
                     cs = np.cumsum(raw, dtype=np.uint64)
-                    off = cs[st] - raw[st]
+                    mlos = np.array(
+                        [blks[bi].doc_lo for bi in miss], dtype=np.uint64
+                    )
+                    # block-head gap is from (doc_lo - 1) — fold the base in
+                    off = cs[st] - raw[st] + np.uint64(1) - mlos
                     ids_all = (cs - np.repeat(off, mns)).astype(np.int64)
                     tfs = vb_decode(b"".join(blks[bi].tfs_vb for bi in miss)).astype(np.float64)
                     dls = vb_decode(b"".join(blks[bi].dls_vb for bi in miss)).astype(np.float64)
