@@ -177,6 +177,23 @@ def _replicate(transcripts, factor: int):
     )
 
 
+def _materialize_input(spark, replicate: int, out_dir: str) -> int:
+    """Write the replicated transcripts to a real parquet table (tmpfs).
+
+    The timed builds then READ A MATERIALIZED TABLE, which is what a
+    production build does — previously the synthetic replicate-explode ran
+    lazily INSIDE the timed region, so the measurement charged the build
+    for generator work no real job performs (and that generator stage was
+    the worst scaling offender: 1.96× core-seconds inflation at 4 cores vs
+    the build's own stages at 1.1-1.2×, per scripts/scaling_profile.py).
+    64 output files give every pinned level enough input splits. Returns
+    the row count."""
+    base = _load_transcripts(spark, SF_DIR)
+    n = base.count() * max(replicate, 1)
+    _replicate(base, replicate).repartition(64).write.mode("overwrite").parquet(out_dir)
+    return n
+
+
 def _zipf_wand_bench(spark, results: dict) -> None:
     """Block-max pruning on a corpus with REAL tf skew (VERDICT round-2 #6).
 
@@ -304,7 +321,8 @@ def _timed_build(spark, transcripts, n_turns: int, out_dir: str, tag: str,
 
 
 def _run_at(master_cores: int, tag: str, results: dict, scaling_only: bool,
-            replicate: int = REPLICATE, trials: int | None = None):
+            replicate: int = REPLICATE, trials: int | None = None,
+            input_path: str | None = None, n_input: int | None = None):
     """One SparkSession at local[master_cores]; returns after spark.stop()."""
     from websearchengine_spark.session import get_spark
 
@@ -313,11 +331,18 @@ def _run_at(master_cores: int, tag: str, results: dict, scaling_only: bool,
         app_name=f"wse-bench-{tag}",
         shuffle_partitions=max(master_cores * 4, 16),
     )
+    own_input = None
     try:
         base = _load_transcripts(spark, SF_DIR)
         n_base = base.count()
-        big = _replicate(base, replicate)
-        n_big = n_base * replicate
+        if input_path is None:
+            # materialize the replicated input ONCE (untimed) so the timed
+            # trials read a real table — see _materialize_input
+            own_input = tempfile.mkdtemp(prefix=f"wse_in_{tag}_", dir=TMP_ROOT)
+            input_path = os.path.join(own_input, "transcripts")
+            n_input = _materialize_input(spark, replicate, input_path)
+        big = spark.read.parquet(input_path)
+        n_big = n_input if n_input is not None else big.count()
 
         # warm-up: a mid-sized build to JIT codegen paths and spawn the
         # Python UDF workers, so the timed trials measure the pipeline, not
@@ -445,11 +470,15 @@ def _run_at(master_cores: int, tag: str, results: dict, scaling_only: bool,
             pass
         return tmp
     finally:
+        if own_input:
+            shutil.rmtree(own_input, ignore_errors=True)
         spark.stop()
 
 
 def _run_phase_subprocess(cores: int, tag: str, replicate: int,
-                          trials: int | None = None) -> dict:
+                          trials: int | None = None,
+                          input_path: str | None = None,
+                          n_input: int | None = None) -> dict:
     """Run one scaling phase in a FRESH Python subprocess pinned (taskset)
     to exactly ``cores`` CPUs.
 
@@ -481,7 +510,8 @@ def _run_phase_subprocess(cores: int, tag: str, replicate: int,
             "import json, bench\n"
             "results = {}\n"
             f"bench._run_at({cores}, {tag!r}, results, scaling_only=True, "
-            f"replicate={replicate}, trials={trials})\n"
+            f"replicate={replicate}, trials={trials}, "
+            f"input_path={input_path!r}, n_input={n_input!r})\n"
             # controls run AFTER the build trials, inside the same CPU
             # pinning — sequential, never concurrent with a measurement
             f"results.update(bench._controls({cores}))\n"
@@ -503,6 +533,22 @@ def main() -> None:
     tput_samples: dict[int, list] = {lo: [], hi: []}
 
     if not SKIP_SCALING:
+        # materialize the scaling input ONCE at full (unpinned) parallelism,
+        # before any measurement — every pinned level then reads the same
+        # table bytes, and no synthetic generator work is timed
+        from websearchengine_spark.session import get_spark
+
+        in_root = tempfile.mkdtemp(prefix="wse_scaling_in_", dir=TMP_ROOT)
+        scaling_input = os.path.join(in_root, "transcripts")
+        mspark = get_spark(
+            master=f"local[{CPUS}]", app_name="wse-bench-materialize",
+            shuffle_partitions=CPUS,
+        )
+        try:
+            n_scaling = _materialize_input(mspark, SCALING_REPLICATE, scaling_input)
+        finally:
+            mspark.stop()
+
         ctrl_samples: dict[int, list] = {lo: [], hi: []}
         walls: dict[str, float] = {}
         # 2 trials per level per cycle: an interleaved A/B on one pinned
@@ -519,7 +565,8 @@ def main() -> None:
         for cycle in range(SCALING_CYCLES):
             for cores, tag in ((lo, "lo"), (hi, "mid")):
                 sub = _run_phase_subprocess(
-                    cores, f"{tag}{cycle}", SCALING_REPLICATE, trials_per[cores]
+                    cores, f"{tag}{cycle}", SCALING_REPLICATE, trials_per[cores],
+                    input_path=scaling_input, n_input=n_scaling,
                 )
                 tp = {int(k): v for k, v in sub.pop("_tput", {}).items()}
                 tput_samples[cores].append(tp[cores])
@@ -528,6 +575,7 @@ def main() -> None:
                     ctrl_samples[cores].append(c)
                 for k, v in sub.items():  # per-level build walls: keep best
                     walls[k] = min(walls.get(k, v), v)
+        shutil.rmtree(in_root, ignore_errors=True)
         results.update(walls)
         # best-of per level across cycles ≈ each level's uncontended
         # throughput; controls likewise (they are ceiling estimates)

@@ -31,8 +31,10 @@ REPLICATE = int(os.environ.get("SPARK_GRAFT_PROF_REPLICATE", "288"))
 CORES = [int(c) for c in os.environ.get("SPARK_GRAFT_PROF_CORES", "1,4").split(",")]
 
 
-def _phase(cores: int, evdir: str) -> dict:
-    """Subprocess body: one warmed, timed build with event logging."""
+def _phase(cores: int, evdir: str, input_path: str, n_input: int) -> dict:
+    """Subprocess body: one warmed, timed build with event logging. The
+    timed build reads the pre-materialized input table (see bench.
+    _materialize_input) so no synthetic generator work is attributed."""
     import bench  # noqa: F401  (sys.path already has the repo root)
     from websearchengine_spark.session import get_spark
 
@@ -63,10 +65,10 @@ def _phase(cores: int, evdir: str) -> dict:
         )
         shutil.rmtree(wtmp, ignore_errors=True)
         ttmp = tempfile.mkdtemp(prefix="prof_timed_", dir=bench.TMP_ROOT)
+        big = spark.read.parquet(input_path)
         t0 = time.time()
         wall, tput, _ = bench._timed_build(
-            spark, bench._replicate(base, REPLICATE), n_base * REPLICATE, ttmp,
-            "timed", cores=cores,
+            spark, big, n_input, ttmp, "timed", cores=cores,
         )
         shutil.rmtree(ttmp, ignore_errors=True)
         return {"wall": wall, "tput": tput, "t0": t0}
@@ -95,7 +97,7 @@ def _parse_eventlog(path: str, t0: float) -> list[dict]:
                 continue
             stages[sid] = {
                 "stage": sid,
-                "name": si["Stage Name"].split(" at ")[0],
+                "name": si["Stage Name"],  # keep the callsite after " at "
                 "wall_s": round((si["Completion Time"] - sub) / 1000.0, 2),
                 "tasks": si["Number of Tasks"],
             }
@@ -114,7 +116,18 @@ def _parse_eventlog(path: str, t0: float) -> list[dict]:
 
 
 def main() -> None:
+    import bench
+    from websearchengine_spark.session import get_spark
+
     results: dict = {}
+    # materialize the profiled input ONCE, unpinned, before any measurement
+    in_root = tempfile.mkdtemp(prefix="prof_in_", dir=bench.TMP_ROOT)
+    input_path = os.path.join(in_root, "transcripts")
+    mspark = get_spark(app_name="prof-materialize")
+    try:
+        n_input = bench._materialize_input(mspark, REPLICATE, input_path)
+    finally:
+        mspark.stop()
     for cores in CORES:
         evdir = tempfile.mkdtemp(prefix=f"prof_ev_c{cores}_")
         with tempfile.NamedTemporaryFile("r", suffix=".json") as f:
@@ -122,7 +135,7 @@ def main() -> None:
                 "import json, sys\n"
                 f"sys.path.insert(0, {REPO!r})\n"
                 "from scripts.scaling_profile import _phase\n"
-                f"r = _phase({cores}, {evdir!r})\n"
+                f"r = _phase({cores}, {evdir!r}, {input_path!r}, {n_input})\n"
                 f"json.dump(r, open({f.name!r}, 'w'))\n"
             )
             cpu_list = ",".join(
@@ -138,6 +151,7 @@ def main() -> None:
         r["stages"] = _parse_eventlog(logs[-1], r["t0"]) if logs else []
         shutil.rmtree(evdir, ignore_errors=True)
         results[f"c{cores}"] = r
+    shutil.rmtree(in_root, ignore_errors=True)
     print(json.dumps(results))
 
 

@@ -23,6 +23,7 @@ partition boundaries — required by the per-turn-text-equality invariant.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -47,10 +48,16 @@ def ordered_partitions(
     column is a full extra scan's worth of serialization)."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # storage level knob (A/B): the persisted range partition is a
+    # CORRECTNESS pin (see assign_doc_ids docstring), but HOW it is stored
+    # trades JVM columnar-cache build cost + GC against (tmpfs) disk bytes
+    level = getattr(
+        StorageLevel, os.environ.get("SPARK_GRAFT_PART_STORAGE", "MEMORY_AND_DISK")
+    )
     part = (
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(level)
     )
     counts = {
         r["_pid"]: r["cnt"]

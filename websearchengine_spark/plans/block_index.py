@@ -54,7 +54,6 @@ from pyspark.sql import types as T
 
 from websearchengine_spark.functions.codec import vb_decode, vb_encode, vb_value_lengths
 from websearchengine_spark.functions.tokenizer import tokenize_runs_frame
-from websearchengine_spark.operators.docids import ordered_partitions
 from websearchengine_spark.plans.build import B, K1
 from websearchengine_spark.sources.catalog import (
     is_table_identifier,
@@ -132,7 +131,12 @@ def _vb_blocked(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> lis
     return [stream[cum[s] : cum[e]] for s, e in zip(starts, ends)]
 
 
-def _make_stream_encoder(avg_dl: float, block_size: int, n_buckets: int):
+def _make_stream_encoder(
+    avg_dl: float,
+    block_size: int,
+    n_buckets: int,
+    pid_offsets: dict[int, int] | None = None,
+):
     """Partition-streaming run merger + block encoder (mapInArrow body).
 
     Input: COMPRESSED POSTING RUNS (term, salt, run_pos, n, ids_vb,
@@ -158,11 +162,24 @@ def _make_stream_encoder(avg_dl: float, block_size: int, n_buckets: int):
 
     Groups may span Arrow batches inside a partition — the trailing
     (term, salt) group of each batch is carried into the next (zero-copy
-    table slices). Blocks never span a (term, salt) group."""
+    table slices). Blocks never span a (term, salt) group.
+
+    ``pid_offsets``: when the tokenize stage emitted PARTITION-LOCAL docIDs
+    (the one-pass build — no separate offsets job before tokenize), each
+    run's head value is its partition-local first docID. A global shift
+    leaves the in-run gaps untouched, so absolutization is one vectorized
+    add of ``pid_offsets[run_pos >> 32]`` to the run heads before the
+    segmented cumsum."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     k1, b = K1, B
+    if pid_offsets:
+        off_arr = np.zeros(max(pid_offsets) + 1, dtype=np.uint64)
+        for p, o in pid_offsets.items():
+            off_arr[p] = o
+    else:
+        off_arr = None
     out_type = pa.schema(
         [
             pa.field("term", pa.string(), False),
@@ -191,6 +208,11 @@ def _make_stream_encoder(avg_dl: float, block_size: int, n_buckets: int):
         vals = vb_decode(ids_stream)
         n = len(vals)
         run_starts = np.concatenate(([0], np.cumsum(run_ns)[:-1])).astype(np.int64)
+        if off_arr is not None:
+            # local → global: shift each run's head by its source
+            # partition's docID offset (gaps are shift-invariant)
+            run_pids = (t.column("run_pos").to_numpy() >> 32).astype(np.int64)
+            vals[run_starts] += off_arr[run_pids]
         c = np.cumsum(vals, dtype=np.uint64)
         base = (c - vals)[run_starts]  # prefix sum before each run
         ids = (c - np.repeat(base, run_ns)).astype(np.int64)
@@ -309,10 +331,10 @@ def build_block_index(
     paths = BlockIndexPaths(out_dir)
     t0 = time.time()
 
-    # Assign docIDs, tokenize, and RUN-ENCODE in ONE fused mapInPandas over
-    # the range-partitioned input (one Python/Arrow crossing of the text
-    # column), emitting FLAT rows: per (term, batch) one COMPRESSED RUN —
-    # that term's batch postings doc-sorted and delta+varbyte encoded
+    # Tokenize and RUN-ENCODE in ONE fused mapInPandas over the range-
+    # partitioned input (one Python/Arrow crossing of the text column),
+    # emitting FLAT rows: per (term, batch) one COMPRESSED RUN — that
+    # term's batch postings doc-sorted and delta+varbyte encoded
     # (~1-3 B/posting) — plus one term-NULL doc-stat row per doc carrying
     # the metadata columns. This is the reference's create_index spill-run
     # pass (create_index.cpp:116-150) as a Spark stage: runs, doc_stats,
@@ -323,14 +345,29 @@ def build_block_index(
     # co-located cores its DRAM traffic is what breaks N→4N scaling — so
     # the ~20× volume cut is the difference between a merge that scales
     # and one that saturates the fabric.
+    #
+    # docIDs are PARTITION-LOCAL here (arange from 0 per partition): the
+    # range exchange is consumed ONCE, directly by the tokenizer — no
+    # separate per-partition-count job, and no caching of the raw text to
+    # pin partition boundaries for it (that cache was a full extra
+    # memory-bandwidth pass over the corpus). Per-partition doc counts
+    # come out of the SAME aggregation job as the lexicon below, and the
+    # global id = local id + prefix-sum offset is applied where each
+    # consumer already touches the ids: the run merger shifts each run's
+    # head gap (delta codes are shift-invariant), and doc_stats adds the
+    # offset through a broadcast-joined (pid, offset) frame. The assigned
+    # id still equals the rank of (conv_id, turn_idx) in the total order —
+    # offsets derive from actual partition counts, so the numbering is
+    # independent of where Spark's sampled range boundaries happened to
+    # fall (stable across reruns and resumes by construction).
     from pyspark import TaskContext
 
-    part, offsets = ordered_partitions(
-        transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
-        order_cols=("conv_id", "turn_idx"),
-        num_partitions=num_partitions,
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (
+        transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .repartitionByRange(n_parts, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
     )
-    n_parts = part.rdd.getNumPartitions()
     meta_cols = ["conv_id", "turn_idx", "role", "tool", "ts"]
     flat_schema = (
         "doc_id long, term string, n long, tf_sum long, dl long, "
@@ -342,7 +379,7 @@ def build_block_index(
         import numpy as _np
 
         pid = TaskContext.get().partitionId()
-        seen = offsets.get(pid, 0)
+        seen = 0  # partition-local; consumers absolutize via pid offsets
         for bi, pdf in enumerate(batches):
             pdf = pdf.copy()
             pdf["doc_id"] = _np.arange(seen, seen + len(pdf), dtype=_np.int64)
@@ -356,29 +393,57 @@ def build_block_index(
 
     flat = part.mapInPandas(_ids_and_tokenize, flat_schema).persist()
 
-    doc_stats = flat.filter(F.col("term").isNull()).select(
-        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-        F.col("dl").alias("term_cnt"),
-    )
     runs = flat.filter(F.col("term").isNotNull()).select(
         "term", "run_pos", "n", "ids_vb", "tfs_vb", "dls_vb"
     )
 
-    # ONE aggregation job yields corpus stats, the full lexicon, and the
-    # hot-term set — WITHOUT decoding any run: df = Σ n (doc rows carry
-    # n=1, so the term-NULL group's df IS n_docs), cf = Σ tf_sum, and the
-    # NULL group's avg(dl) over doc rows is avg_dl.
-    term_agg = flat.groupBy("term").agg(
+    # ONE aggregation job yields corpus stats, per-partition doc counts,
+    # the full lexicon, and the hot-term set — WITHOUT decoding any run:
+    # df = Σ n (doc rows carry n=1), cf = Σ tf_sum. The term-NULL group is
+    # split by source partition id (doc rows: pid = run_pos >> 32; posting
+    # runs keep pid = -1 so term groups stay whole), giving the docID
+    # offsets for free in the same shuffle.
+    pid_key = (
+        F.when(F.col("term").isNull(), F.shiftright("run_pos", 32))
+        .otherwise(F.lit(-1))
+        .cast("int")
+    )
+    term_agg = flat.groupBy("term", pid_key.alias("pid")).agg(
         F.sum("n").alias("df"),
         F.sum("tf_sum").alias("cf"),
-        F.avg("dl").alias("avg_dl_in_group"),
+        F.sum("dl").alias("dl_sum"),
     ).persist()  # vocab-sized; reused by the lexicon write (saves a full
     #              re-aggregation pass over the runs at write time)
-    head = term_agg.filter(F.col("term").isNull()).collect()  # 1 row
-    n_docs = int(head[0]["df"]) if head else 0
-    avg_dl = float(head[0]["avg_dl_in_group"] or 0.0) if head else 0.0
-    # `flat` is materialized now; the range-partition cache is done
-    part.unpersist()
+    head = term_agg.filter(F.col("term").isNull()).collect()  # ≤ n_parts rows
+    counts = {int(r["pid"]): int(r["df"]) for r in head}
+    n_docs = sum(counts.values())
+    total_dl = sum(int(r["dl_sum"] or 0) for r in head)
+    # same value as AVG(dl) over doc rows: exact integer sum, one division
+    avg_dl = (total_dl / n_docs) if n_docs else 0.0
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    doc_stats = (
+        flat.filter(F.col("term").isNull())
+        .withColumn("pid", F.shiftright("run_pos", 32).cast("int"))
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(p, o) for p, o in offsets.items()] or [(0, 0)],
+                    "pid int, _off long",
+                )
+            ),
+            "pid",
+        )
+        .select(
+            (F.col("doc_id") + F.col("_off")).alias("doc_id"),
+            "conv_id", "turn_idx", "role", "tool", "ts",
+            F.col("dl").alias("term_cnt"),
+        )
+    )
 
     # lexicon: df (postings per term == distinct docs per term) + cf
     lexicon = term_agg.filter(F.col("term").isNotNull()).select("term", "df", "cf")
@@ -462,7 +527,10 @@ def build_block_index(
         blocks = (
             to_build.repartition(n_exch, "term", "salt")
             .sortWithinPartitions("term", "salt", "run_pos")
-            .mapInArrow(_make_stream_encoder(avg_dl, block_size, n_buckets), BLOCK_SCHEMA)
+            .mapInArrow(
+                _make_stream_encoder(avg_dl, block_size, n_buckets, offsets),
+                BLOCK_SCHEMA,
+            )
         )
         # dynamic partition overwrite → idempotent per-bucket commits.
         # Blocks are sorted by (term, doc_lo) within each bucket file and
