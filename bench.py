@@ -81,7 +81,7 @@ BENCH_QUERIES = [
 # after its build trials:
 #   int_burn — pure-Python integer arithmetic, no memory pressure: the
 #              host's CPU-scheduling ceiling (steal time, neighbors);
-#   tok_loop — the build's own tokenizer kernel over pandas batches: the
+#   tok_loop — the build's own tokenizer kernel over Arrow batches: the
 #              memory-bandwidth ceiling (the build's hot stage IS this
 #              work, so plan overhead = build_eff / tok_loop_eff).
 CTRL_INT_N = int(os.environ.get("SPARK_GRAFT_BENCH_CTRL_INT", str(120_000_000)))
@@ -97,20 +97,17 @@ def _burn_worker(n: int) -> int:
 
 def _tok_worker(texts: list) -> int:
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    from websearchengine_spark.functions.tokenizer import tokenize_postings_frame
+    from websearchengine_spark.functions.tokenizer import tokenize_runs_arrays
 
     done = 0
     for lo in range(0, len(texts), 10_000):
         chunk = texts[lo : lo + 10_000]
-        pdf = pd.DataFrame(
-            {
-                "doc_id": np.arange(done, done + len(chunk), dtype=np.int64),
-                "text": chunk,
-            }
+        tokenize_runs_arrays(
+            pa.array(chunk, type=pa.string()),
+            np.arange(done, done + len(chunk), dtype=np.int64),
         )
-        tokenize_postings_frame(pdf, [])
         done += len(chunk)
     return done
 
@@ -123,7 +120,7 @@ def _controls(cores: int) -> dict:
     import pyarrow.parquet as pq
 
     # pre-import in the parent so forked workers inherit warm modules
-    from websearchengine_spark.functions.tokenizer import tokenize_postings_frame  # noqa: F401
+    from websearchengine_spark.functions.tokenizer import tokenize_runs_arrays  # noqa: F401
 
     ctx = mp.get_context("fork")
     out: dict = {}

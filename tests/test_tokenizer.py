@@ -85,3 +85,63 @@ def test_clean_query():
     assert clean_query("zebra apple") == ["apple", "zebra"]
     assert clean_query("!!! 。、") == []
     assert clean_query("") == []
+
+
+def _runs_sig(terms, ns, tfs, ids_vb, tfs_vb, dls_vb):
+    return sorted(
+        (t, int(a), int(b), bytes(c), bytes(d), bytes(e))
+        for t, a, b, c, d, e in zip(terms, ns, tfs, ids_vb, tfs_vb, dls_vb)
+    )
+
+
+def test_arrow_runs_bit_identical_to_pandas_twin():
+    """The Arrow-native build kernel (RE2 split + ascii_lower +
+    dictionary_encode) must emit byte-identical runs and doc lengths to the
+    pandas/factorize twin on edges + fuzzed Unicode."""
+    import numpy as np
+    import pyarrow as pa
+
+    from websearchengine_spark.functions.tokenizer import (
+        tokenize_runs_arrays,
+        tokenize_runs_frame,
+    )
+
+    rng = random.Random(11)
+    fuzz = [
+        "".join(chr(rng.choice([rng.randrange(32, 128), rng.randrange(0x80, 0x800),
+                                rng.randrange(0x2000, 0x2080), rng.randrange(0x3000, 0x3100),
+                                rng.randrange(0x10000, 0x10100)]))
+                for _ in range(rng.randrange(0, 40)))
+        for _ in range(200)
+    ]
+    texts = EDGES + [None, ""] + fuzz + ["the data " * 30, "spark SPARK Spark"]
+    doc_ids = np.arange(1000, 1000 + len(texts), dtype=np.int64)
+
+    terms, ns, tfs, iv, tv, dv, lens = tokenize_runs_arrays(
+        pa.array(texts, type=pa.string()), doc_ids
+    )
+    old = tokenize_runs_frame(pd.DataFrame({"doc_id": doc_ids, "text": texts}), [])
+    runs = old[old["term"].notna()]
+    assert _runs_sig(
+        terms.to_pylist(), ns, tfs, iv.to_pylist(), tv.to_pylist(), dv.to_pylist()
+    ) == _runs_sig(
+        runs["term"], runs["n"], runs["tf_sum"],
+        runs["ids_vb"], runs["tfs_vb"], runs["dls_vb"],
+    )
+    assert list(lens) == list(old[old["term"].isna()]["dl"].astype(int))
+
+
+def test_arrow_runs_empty_and_tokenless():
+    import numpy as np
+    import pyarrow as pa
+
+    from websearchengine_spark.functions.tokenizer import tokenize_runs_arrays
+
+    terms, ns, tfs, iv, tv, dv, lens = tokenize_runs_arrays(
+        pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    )
+    assert len(terms) == 0 and list(lens) == []
+    terms, ns, tfs, iv, tv, dv, lens = tokenize_runs_arrays(
+        pa.array(["", "...", None], type=pa.string()), np.arange(3, dtype=np.int64)
+    )
+    assert len(terms) == 0 and list(lens) == [0, 0, 0]

@@ -66,9 +66,52 @@ def vb_blocked(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list
     return [stream[cum[s] : cum[e]] for s, e in zip(starts, ends)]
 
 
-def vb_decode(buf: bytes) -> np.ndarray:
-    """Decode a varbyte stream back to a uint64 array (vectorized)."""
-    b = np.frombuffer(buf, dtype=np.uint8)
+def vb_blocked_arrow(values: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Like :func:`vb_blocked` but returns a ZERO-COPY Arrow binary array.
+
+    Requires the blocks to TILE the value array contiguously
+    (``ends[i] == starts[i+1]``, ``starts[0] == 0``) — both call sites (the
+    run emitter and the block encoder) cut maximal-coverage boundaries, so
+    the encoded stream's value offsets at the block starts ARE the Arrow
+    offsets vector, and the stream itself is the data buffer. No per-block
+    Python bytes objects (a 1.44M-turn build otherwise materializes ~1.8M
+    of them across the run and block stages)."""
+    import pyarrow as pa
+
+    n_blocks = len(starts)
+    stream = vb_encode(values)
+    if n_blocks == 0:
+        return pa.array([], type=pa.binary())
+    cum = np.concatenate(([0], np.cumsum(vb_value_lengths(values))))
+    offsets = np.empty(n_blocks + 1, dtype=np.int32)
+    offsets[:-1] = cum[starts]
+    offsets[-1] = cum[ends[-1]]
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n_blocks, [None, pa.py_buffer(offsets), pa.py_buffer(stream)]
+    )
+
+
+def concat_binary_column(col) -> np.ndarray:
+    """Zero-copy concatenation of a null-free Arrow binary column's values
+    as one uint8 array — the equivalent of ``b"".join(col.to_pylist())``
+    without materializing a Python bytes object per row (binary array
+    values are stored back-to-back in the data buffer already)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, dtype=np.uint8)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    return np.frombuffer(col.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+
+
+def vb_decode(buf) -> np.ndarray:
+    """Decode a varbyte stream (bytes or uint8 array) back to uint64s
+    (vectorized)."""
+    b = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     high = b & 0x80

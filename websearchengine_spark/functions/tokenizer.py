@@ -297,6 +297,122 @@ def tokenize_runs_frame(pdf: pd.DataFrame, meta_cols: list[str]) -> pd.DataFrame
     return frame
 
 
+def tokenize_runs_arrays(arr, doc_ids: np.ndarray):
+    """Arrow-native run builder — the build's hot kernel, zero Python text.
+
+    Same spec and bit-identical output payloads as
+    :func:`tokenize_runs_frame` (pytest-asserted), but the text column
+    never becomes Python strings: ``ascii_lower`` (exactly the reference's
+    ASCII-only tolower — non-ASCII untouched), RE2 ``split_pattern_regex``
+    on the same boundary class (empty tokens at split edges are masked
+    out, restoring findall semantics), and C++ ``dictionary_encode``
+    replacing pd.factorize. Everything after is the same int-array
+    machinery (fused (row, code) keys → np.unique → term-major lexsort →
+    segmented delta+varbyte).
+
+    In: Arrow string array of texts + int64 docIDs (one per text).
+    Out: (run_terms StringArray, run_n, run_tf, ids_vb, tfs_vb, dls_vb,
+    lens) — one run per distinct term with that term's postings for the
+    batch, plus per-doc token counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from websearchengine_spark.functions.codec import vb_blocked_arrow
+
+    n = len(arr)
+    lowered = pc.ascii_lower(pc.fill_null(arr, ""))
+    toks = pc.split_pattern_regex(lowered, BOUNDARY_RE.pattern)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens0 = np.diff(toks.offsets.to_numpy())
+    values = toks.values
+    nobin = pa.array([], type=pa.binary())
+    if len(values) == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return (
+            pa.array([], type=pa.string()), empty, empty, nobin, nobin, nobin,
+            np.zeros(n, dtype=np.int64),
+        )
+    keep = pc.binary_length(values).to_numpy() > 0
+    rows0 = np.repeat(np.arange(n, dtype=np.int64), lens0)
+    d = pc.dictionary_encode(values)
+    uniques = d.dictionary
+    rows = rows0[keep]
+    codes = d.indices.to_numpy()[keep].astype(np.int64)
+    # per-doc BM25 length = kept-token count (create_index.cpp:376)
+    lens = np.bincount(rows0, weights=keep, minlength=n).astype(np.int64)
+    V = np.int64(max(len(uniques), 1))
+    key = rows * V + codes
+    uk, counts = np.unique(key, return_counts=True)
+    if len(uk) == 0:  # every split piece was an empty edge token
+        empty = np.empty(0, dtype=np.int64)
+        return pa.array([], type=pa.string()), empty, empty, nobin, nobin, nobin, lens
+    r_idx = (uk // V).astype(np.int64)
+    c_idx = (uk % V).astype(np.int64)
+    order = np.lexsort((r_idx, c_idx))  # term-major, doc-ascending
+    c_s, r_s, tf_s = c_idx[order], r_idx[order], counts[order].astype(np.int64)
+    post_doc = doc_ids[r_s]
+    post_dl = lens[r_s]
+    rchg = np.nonzero(c_s[1:] != c_s[:-1])[0] + 1
+    rstarts = np.concatenate(([0], rchg))
+    rends = np.concatenate((rchg, [len(c_s)]))
+    run_n = rends - rstarts
+    run_tf = np.add.reduceat(tf_s, rstarts)
+    u = post_doc.astype(np.uint64)
+    gaps = np.empty_like(u)
+    gaps[0] = u[0]
+    np.subtract(u[1:], u[:-1], out=gaps[1:])
+    gaps[rstarts] = u[rstarts]
+    ids_vb = vb_blocked_arrow(gaps, rstarts, rends)
+    tfs_vb = vb_blocked_arrow(tf_s.astype(np.uint64), rstarts, rends)
+    dls_vb = vb_blocked_arrow(post_dl.astype(np.uint64), rstarts, rends)
+    run_terms = pc.take(uniques, pa.array(c_s[rstarts], type=pa.int64())).cast(
+        pa.string()
+    )
+    return run_terms, run_n, run_tf, ids_vb, tfs_vb, dls_vb, lens
+
+
+def tokenize_runs_batch(rb, meta_cols: list[str], doc_id_start: int, run_pos: int):
+    """One mapInArrow batch → the flat runs+docs RecordBatch.
+
+    Layout matches :func:`tokenize_runs_frame`'s frame (k run rows, then n
+    doc rows) with typed Arrow nulls — no pandas object columns on either
+    side of the crossing. ``doc_id_start`` is the partition-local id of the
+    batch's first doc; ``run_pos`` tags every row of the batch."""
+    import pyarrow as pa
+
+    n = rb.num_rows
+    doc_ids = np.arange(doc_id_start, doc_id_start + n, dtype=np.int64)
+    run_terms, run_n, run_tf, ids_vb, tfs_vb, dls_vb, lens = tokenize_runs_arrays(
+        rb.column("text"), doc_ids
+    )
+    k = len(run_n)
+    i64 = pa.int64()
+    cols = {
+        "doc_id": pa.concat_arrays([pa.nulls(k, i64), pa.array(doc_ids, type=i64)]),
+        "term": pa.concat_arrays(
+            [run_terms.combine_chunks() if isinstance(run_terms, pa.ChunkedArray)
+             else run_terms, pa.nulls(n, pa.string())]
+        ),
+        "n": pa.array(np.concatenate([run_n, np.ones(n, dtype=np.int64)]), type=i64),
+        "tf_sum": pa.array(
+            np.concatenate([run_tf, np.zeros(n, dtype=np.int64)]), type=i64
+        ),
+        "dl": pa.concat_arrays([pa.nulls(k, i64), pa.array(lens, type=i64)]),
+        "ids_vb": pa.concat_arrays([ids_vb, pa.nulls(n, pa.binary())]),
+        "tfs_vb": pa.concat_arrays([tfs_vb, pa.nulls(n, pa.binary())]),
+        "dls_vb": pa.concat_arrays([dls_vb, pa.nulls(n, pa.binary())]),
+        "run_pos": pa.array(np.full(k + n, run_pos, dtype=np.int64), type=i64),
+    }
+    arrays = list(cols.values())
+    names = list(cols.keys())
+    for c in meta_cols:
+        col = rb.column(c)
+        arrays.append(pa.concat_arrays([pa.nulls(k, col.type), col]))
+        names.append(c)
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
 def doc_length_series(texts: pd.Series) -> pd.Series:
     """Series[str] → Series[int64]: BM25 doc length = total token count
     (create_index.cpp:376)."""

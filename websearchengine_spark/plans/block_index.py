@@ -52,8 +52,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from websearchengine_spark.functions.codec import vb_decode, vb_encode, vb_value_lengths
-from websearchengine_spark.functions.tokenizer import tokenize_runs_frame
+from websearchengine_spark.functions.codec import (
+    concat_binary_column,
+    vb_blocked_arrow,
+    vb_decode,
+)
+from websearchengine_spark.functions.tokenizer import tokenize_runs_batch
 from websearchengine_spark.plans.build import B, K1
 from websearchengine_spark.sources.catalog import (
     is_table_identifier,
@@ -120,15 +124,6 @@ class BlockIndexPaths:
     @property
     def checkpoints(self) -> str:
         return self._child("checkpoints")
-
-
-def _vb_blocked(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list[bytes]:
-    """vb-encode the whole array ONCE, then split the byte stream at block
-    boundaries (vb coding is per-value independent, so the split blobs are
-    byte-identical to encoding each block separately)."""
-    stream = vb_encode(values)
-    cum = np.concatenate(([0], np.cumsum(vb_value_lengths(values))))
-    return [stream[cum[s] : cum[e]] for s, e in zip(starts, ends)]
 
 
 def _make_stream_encoder(
@@ -204,8 +199,9 @@ def _make_stream_encoder(
         # decode the concatenated runs: one vb_decode per column for the
         # WHOLE batch, then a segmented cumsum restores absolute docIDs
         # (each run is [first, gap, gap, ...])
-        ids_stream = b"".join(t.column("ids_vb").to_pylist())
-        vals = vb_decode(ids_stream)
+        # zero-copy: a binary column's data buffer IS the concatenation of
+        # its values — no per-run Python bytes objects
+        vals = vb_decode(concat_binary_column(t.column("ids_vb")))
         n = len(vals)
         run_starts = np.concatenate(([0], np.cumsum(run_ns)[:-1])).astype(np.int64)
         if off_arr is not None:
@@ -216,8 +212,8 @@ def _make_stream_encoder(
         c = np.cumsum(vals, dtype=np.uint64)
         base = (c - vals)[run_starts]  # prefix sum before each run
         ids = (c - np.repeat(base, run_ns)).astype(np.int64)
-        tfs = vb_decode(b"".join(t.column("tfs_vb").to_pylist())).astype(np.int64)
-        dls = vb_decode(b"".join(t.column("dls_vb").to_pylist())).astype(np.int64)
+        tfs = vb_decode(concat_binary_column(t.column("tfs_vb"))).astype(np.int64)
+        dls = vb_decode(concat_binary_column(t.column("dls_vb"))).astype(np.int64)
         # (term, salt) group changes at RUN level → posting-level starts
         g_run = (
             np.nonzero(
@@ -262,13 +258,9 @@ def _make_stream_encoder(
                 pa.array(ids[starts], type=pa.int64()),
                 pa.array(ids[ends - 1], type=pa.int64()),
                 pa.array((ends - starts).astype(np.int32), type=pa.int32()),
-                pa.array(_vb_blocked(gaps, starts, ends), type=pa.binary()),
-                pa.array(
-                    _vb_blocked(tfs.astype(np.uint64), starts, ends), type=pa.binary()
-                ),
-                pa.array(
-                    _vb_blocked(dls.astype(np.uint64), starts, ends), type=pa.binary()
-                ),
+                vb_blocked_arrow(gaps, starts, ends),
+                vb_blocked_arrow(tfs.astype(np.uint64), starts, ends),
+                vb_blocked_arrow(dls.astype(np.uint64), starts, ends),
                 pa.array(np.maximum.reduceat(tfc, starts), type=pa.float64()),
                 pa.array(np.minimum.reduceat(tfc, starts), type=pa.float64()),
                 pa.array(dict_buckets[block_tcodes], type=pa.int32()),
@@ -376,22 +368,19 @@ def build_block_index(
     )
 
     def _ids_and_tokenize(batches):
-        import numpy as _np
-
+        # mapInArrow: the text column never materializes as Python strings
+        # on either side of the crossing (RE2 split + ascii_lower +
+        # dictionary_encode are all C++ — see tokenize_runs_arrays)
         pid = TaskContext.get().partitionId()
         seen = 0  # partition-local; consumers absolutize via pid offsets
-        for bi, pdf in enumerate(batches):
-            pdf = pdf.copy()
-            pdf["doc_id"] = _np.arange(seen, seen + len(pdf), dtype=_np.int64)
-            seen += len(pdf)
-            out = tokenize_runs_frame(pdf, meta_cols)
+        for bi, rb in enumerate(batches):
             # global run order = (partition, batch): batches are doc-
             # ascending within a partition and partitions are doc-ranged,
             # so sorting runs by run_pos restores global docID order
-            out.insert(8, "run_pos", _np.int64((pid << 32) | bi))
-            yield out
+            yield tokenize_runs_batch(rb, meta_cols, seen, (pid << 32) | bi)
+            seen += rb.num_rows
 
-    flat = part.mapInPandas(_ids_and_tokenize, flat_schema).persist()
+    flat = part.mapInArrow(_ids_and_tokenize, flat_schema).persist()
 
     runs = flat.filter(F.col("term").isNotNull()).select(
         "term", "run_pos", "n", "ids_vb", "tfs_vb", "dls_vb"
