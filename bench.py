@@ -58,8 +58,11 @@ TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 # other — efficiency then measures the noise, not the plan. Running the
 # (lo, hi) cycle twice and taking best-of PER LEVEL estimates each
 # level's uncontended throughput; their ratio is the plan's scaling.
-# All per-cycle samples are embedded in the JSON for audit.
-SCALING_CYCLES = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_CYCLES", "2"))
+# All per-cycle samples are embedded in the JSON for audit. Three cycles:
+# today's samples showed adjacent windows differing 1.2x at both levels
+# (c1 21.0k vs 17.3k, c4 72.7k vs 62.9k), so a third window per level
+# materially tightens the per-level uncontended estimate for ~6 extra min.
+SCALING_CYCLES = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_CYCLES", "3"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_BENCH_NO_SCALING", "") == "1"
 # index/scratch output on tmpfs when present: the sandbox's single ~300 MB/s
 # virtual disk serializes otherwise-parallel writes (a cluster's local disks
