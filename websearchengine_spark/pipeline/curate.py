@@ -65,3 +65,32 @@ def curate(
     return out.filter(F.col("doc_id") == F.col("group_id")).select(
         "doc_id", "quality", "lang_pred", "group_id"
     )
+
+
+def domain_mix(docs: DataFrame, rates: dict[str, int], key_col: str = "source") -> DataFrame:
+    """Deterministic per-domain mixture sampling: keep each doc with
+    probability ``rates[domain] / 1000`` (permille), decided by a content
+    hash — the domain-weighting step of a pretraining-data pipeline
+    (up/down-sample sources to hit a target mixture).
+
+    Keep rule: ``h60(domain || ':' || doc_id) % 1000 < rate``. Hash-based
+    (like pl_train_val_split), so the sample is stable under re-ingestion,
+    reshuffling, and incremental appends — no RNG state, no sort order
+    dependence. Domains absent from ``rates`` are dropped (rate 0).
+
+    Scale shape: one narrow map + a broadcast join of the (domain, rate)
+    table; no corpus shuffle at any size."""
+    spark = docs.sparkSession
+    rates_df = spark.createDataFrame(
+        [(d, int(r)) for d, r in rates.items()] or [("", 0)],
+        f"{key_col} string, _rate int",
+    )
+    bucket = F.pmod(
+        h60(F.concat_ws(":", F.col(key_col), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    return (
+        docs.join(F.broadcast(rates_df), key_col)
+        .filter(bucket < F.col("_rate"))
+        .drop("_rate")
+    )

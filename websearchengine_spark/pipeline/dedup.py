@@ -114,6 +114,44 @@ def ngram_jaccard_pairs(
 MINHASH_P = (1 << 31) - 1  # Mersenne prime: a*h+b stays in int64 both engines
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 5) -> DataFrame:
+    """Benchmark decontamination: per training doc, count its distinct
+    k-gram shingles that also occur anywhere in the ``benchmark`` corpus
+    (the standard n-gram-overlap test-set leakage check run before LLM
+    pretraining; docs with ``n_hits > 0`` are dropped or audited).
+
+    → (doc_id, n_hits, contaminated[0/1]) for EVERY doc (clean docs keep
+    n_hits = 0, so the output is total and join-free to consume).
+
+    Scale shape: the benchmark side is an eval suite — thousands of docs,
+    millions of distinct shingle hashes at most — so its distinct h60 set
+    broadcasts, and the training-side scan stays narrow: explode distinct
+    shingles → broadcast semi-join → per-doc count. No shuffle touches the
+    corpus except the final per-doc aggregation of hit rows (hits are rare
+    by construction at 100 TB)."""
+    bench_sh = (
+        _shingle_rows(benchmark, k)
+        .select(h60("shingle").alias("sh_h"))
+        .distinct()
+    )
+    hits = (
+        _shingle_rows(docs, k)
+        .select("doc_id", h60("shingle").alias("sh_h"))
+        .join(F.broadcast(bench_sh), "sh_h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))  # shingles already distinct
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
 def minhash_seed_params(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) per seed for the universal hash family
     h_i(x) = (a_i·x + b_i) mod P over x = h60(shingle) mod P. Derived from

@@ -301,6 +301,55 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    # gate benchmark = a deterministic subset of the same table (every 97th
+    # doc) — guarantees non-vacuous hits (the subset overlaps itself, and
+    # near-copies of benchmark docs get flagged too)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return dedup.decontaminate(docs, bench, k=5)
+
+
+SQL_DECONTAMINATE = f"""
+WITH {SQL_TOKS},
+sh5 AS (SELECT doc_id, {sql_shingles('l', 5)} AS s FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh5),
+bench AS (SELECT DISTINCT {sql_h60('shingle')} AS sh_h
+          FROM ex WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT e.doc_id, COUNT(*) AS n_hits
+  FROM (SELECT doc_id, {sql_h60('shingle')} AS sh_h FROM ex) e
+  JOIN bench USING (sh_h)
+  GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       (COALESCE(h.n_hits, 0) > 0)::INT AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_domain_mix(spark, sf_dir):
+    from websearchengine_spark.pipeline.curate import domain_mix
+
+    docs = _docs(spark, sf_dir)
+    rates = {f"src{i}": 1000 - i * 100 for i in range(10)}
+    return domain_mix(docs, rates).select("doc_id", "source")
+
+
+SQL_DOMAIN_MIX = f"""
+WITH rates AS (
+  SELECT 'src' || i::VARCHAR AS source, (1000 - i * 100) AS rate
+  FROM range(10) t(i)
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE ({sql_h60("d.source || ':' || d.doc_id::VARCHAR")} % 1000) < r.rate
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     return dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=16, k=3)
 
@@ -781,6 +830,8 @@ def pipeline_entries() -> dict[str, tuple]:
             q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME,
         ),
         "dd_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+        "dd_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "pl_domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
         "dd_ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "dd_minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGS),
         "dd_minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
