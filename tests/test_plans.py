@@ -88,3 +88,36 @@ def test_minhash_band_join_keys_are_uniform_hash(spark):
     plan = explain_str(minhash_lsh_pairs(docs))
     assert "band_key" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle-hash set must broadcast (it is an eval suite,
+    tiny next to the corpus) and the training-side scan must stay
+    cartesian-free."""
+    from websearchengine_spark.pipeline.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 3 == 0)
+    plan = explain_str(decontaminate(docs, bench, k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_mix_is_broadcast_rate_join(spark):
+    """Domain mixture sampling = one narrow filter + a broadcast join of
+    the (domain, rate) table; the corpus must not shuffle."""
+    from websearchengine_spark.pipeline.curate import domain_mix
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"text {i}") for i in range(9)],
+        "doc_id long, source string, text string",
+    )
+    plan = explain_str(domain_mix(docs, {"src0": 1000, "src1": 500}))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # no exchange on the corpus side: the only shuffle-free wide op allowed
+    # is the broadcast exchange itself
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
