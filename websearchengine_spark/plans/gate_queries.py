@@ -614,6 +614,141 @@ SELECT query_id, rank, doc_id, cosine FROM (
 """
 
 
+def _mrr_fold(per_query: DataFrame) -> DataFrame:
+    """(query_id, rr) → one (mrr, n_queries) row via the ordered fold by
+    query_id (deterministic float summation order, mirrored in every MRR
+    oracle — evaluation.cpp:715-720's sequential loop)."""
+    return per_query.agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("query_id", "rr"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["rr"],
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mrr"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )
+
+
+def q_semantic_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-search MRR@10 harness — the reference's
+    eval_semantic_search.ipynb evaluation loop (its MRR@10 0.292/0.315
+    reproduction, readme.md:104) as one DataFrame job: dense-retrieval
+    ranks → reciprocal rank of the qrel within top-10 → mean. The qrel per
+    query is derived identically on both sides (lowest docID among the
+    semantic top-20 — the same device as a5_mrr_at_10), and the mean is an
+    ordered fold by query_id (deterministic float summation order)."""
+    from websearchengine_spark.operators.semantic import semantic_topk
+
+    top20 = semantic_topk(_emb(spark, sf_dir), _gate_query_vecs(spark), k=20)
+    qrels = top20.groupBy("query_id").agg(F.min("doc_id").alias("rel_doc"))
+    rr = (
+        top20.filter(F.col("rank") <= 10)
+        .join(qrels, "query_id")
+        .filter(F.col("doc_id") == F.col("rel_doc"))
+        .select("query_id", (F.lit(1.0) / F.col("rank")).alias("rr"))
+    )
+    per_query = qrels.join(rr, "query_id", "left").select(
+        "query_id", F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr")
+    )
+    return _mrr_fold(per_query)
+
+
+def q_rerank_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerank MRR@10 harness — the reference's eval_rerank.ipynb loop (its
+    MRR@10 0.173 measurement, readme.md:113) as one DataFrame job: the full
+    RERANKING pipeline's ranks (semantic top-32 candidates re-scored by the
+    cross-encoder pair seam) → reciprocal rank of the qrel → mean. The qrel
+    per query is the lowest docID among the SEMANTIC top-20 (derived
+    identically on both sides), so the metric measures how reranking moves
+    the relevant doc, the notebook's comparison axis."""
+    from websearchengine_spark.operators.semantic import rerank, semantic_topk
+
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id long, query string")
+    ranked = rerank(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), _gate_query_vecs(spark), qdf,
+        k=10, candidates_k=32,
+    )
+    sem20 = semantic_topk(_emb(spark, sf_dir), _gate_query_vecs(spark), k=20)
+    qrels = sem20.groupBy("query_id").agg(F.min("doc_id").alias("rel_doc"))
+    rr = (
+        ranked.join(qrels, "query_id")
+        .filter(F.col("doc_id") == F.col("rel_doc"))
+        .select("query_id", (F.lit(1.0) / F.col("rank")).alias("rr"))
+    )
+    per_query = qrels.join(rr, "query_id", "left").select(
+        "query_id", F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr")
+    )
+    return _mrr_fold(per_query)
+
+
+def _sql_rerank_mrr() -> str:
+    from websearchengine_spark.operators.pair_scorer import sql_pair_score
+
+    return f"""
+WITH {SQL_QCOMP},
+sem AS (
+  SELECT query_id, doc_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id ASC) AS sem_rank
+  FROM cos
+),
+cand AS (SELECT * FROM sem WHERE sem_rank <= 32),
+scored AS (
+  SELECT c.query_id, c.doc_id, c.sem_rank,
+         ROUND({sql_pair_score("q.query", "d.text")}, 6) AS score
+  FROM cand c
+  JOIN qtext q ON q.query_id = c.query_id
+  JOIN documents d ON d.doc_id = c.doc_id
+),
+rranked AS (
+  SELECT query_id, doc_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, sem_rank ASC))::BIGINT AS rank
+  FROM scored
+),
+qrels AS (SELECT query_id, MIN(doc_id) AS rel_doc FROM sem WHERE sem_rank <= 20 GROUP BY query_id),
+rr AS (
+  SELECT r.query_id, 1.0::DOUBLE / r.rank AS rr
+  FROM rranked r JOIN qrels q ON r.query_id = q.query_id AND r.doc_id = q.rel_doc
+  WHERE r.rank <= 10
+),
+perq AS (
+  SELECT qrels.query_id, COALESCE(rr.rr, 0.0::DOUBLE) AS rr
+  FROM qrels LEFT JOIN rr USING (query_id)
+)
+SELECT ROUND(list_aggregate(list(rr ORDER BY query_id), 'sum') / COUNT(*), 6) AS mrr,
+       COUNT(*)::BIGINT AS n_queries
+FROM perq
+"""
+
+
+SQL_SEMANTIC_MRR = f"""
+WITH {SQL_QCOMP},
+ranked AS (
+  SELECT query_id, doc_id,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, doc_id ASC))::BIGINT AS rank
+  FROM cos
+),
+qrels AS (SELECT query_id, MIN(doc_id) AS rel_doc FROM ranked WHERE rank <= 20 GROUP BY query_id),
+rr AS (
+  SELECT r.query_id, 1.0::DOUBLE / r.rank AS rr
+  FROM ranked r JOIN qrels q ON r.query_id = q.query_id AND r.doc_id = q.rel_doc
+  WHERE r.rank <= 10
+),
+perq AS (
+  SELECT qrels.query_id, COALESCE(rr.rr, 0.0::DOUBLE) AS rr
+  FROM qrels LEFT JOIN rr USING (query_id)
+)
+SELECT ROUND(list_aggregate(list(rr ORDER BY query_id), 'sum') / COUNT(*), 6) AS mrr,
+       COUNT(*)::BIGINT AS n_queries
+FROM perq
+"""
+
+
 def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryType RERANKING — the reference's actual pipeline
     (main.cpp:772-806 + learning_to_rank.py): SEMANTIC candidates (top 32,
@@ -761,6 +896,14 @@ def core_entries() -> dict[str, tuple]:
         "q2_semantic_topk": (
             q_semantic_topk,
             SQL_SEMANTIC_TOPK.replace("{qtext}", _qtext_values()),
+        ),
+        "a5_semantic_mrr": (
+            q_semantic_mrr,
+            SQL_SEMANTIC_MRR.replace("{qtext}", _qtext_values()),
+        ),
+        "a5_rerank_mrr": (
+            q_rerank_mrr,
+            _sql_rerank_mrr().replace("{qtext}", _qtext_values()),
         ),
         "q3_rerank_topk": (
             q_rerank_topk,
