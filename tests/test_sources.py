@@ -133,3 +133,20 @@ def test_snippet_service_roundtrip(spark, tmp_path):
     assert "fox" in snips[0][1] or snips[0][1]  # window includes the hit
     freqs = svc.result_freqs("fox box", [2])
     assert freqs[2] == [("box", 1), ("fox", 1)]  # sorted-term order
+
+
+def test_remap_qrels_natural_keys_to_dense_ids(spark):
+    """convert_ids.cpp:154-172 analogue: (conv_id, turn_idx)-keyed qrels →
+    dense docIDs via doc_stats; identities absent from the corpus drop."""
+    from websearchengine_spark.sources.tsv import remap_qrels
+
+    doc_stats = spark.createDataFrame(
+        [("a", 0, 0), ("a", 1, 1), ("b", 0, 2)],
+        "conv_id string, turn_idx int, doc_id long",
+    )
+    qrels = spark.createDataFrame(
+        [(10, "a", 1), (11, "b", 0), (12, "zz", 9)],
+        "query_id long, conv_id string, turn_idx int",
+    )
+    got = {r["query_id"]: r["rel_doc"] for r in remap_qrels(qrels, doc_stats).collect()}
+    assert got == {10: 1, 11: 2}  # query 12's identity is absent → dropped

@@ -57,3 +57,21 @@ def read_qrels(spark: SparkSession, path: str) -> DataFrame:
             F.max_by("doc_id", F.struct("_file", "_line_no")).alias("rel_doc")
         )
     )
+
+
+def remap_qrels(qrels_natural: DataFrame, doc_stats: DataFrame) -> DataFrame:
+    """The reference's qrels ID-conversion pass (convert_ids.cpp:154-172:
+    raw TREC DOCNOs → dense numeric docIDs via the page-table map) for the
+    transcripts model: qrels keyed by the natural document identity
+    (query_id, conv_id, turn_idx) → (query_id, rel_doc) dense ids, joined
+    through the doc_stats table (the page-table analogue). Qrels whose
+    identity is absent from the corpus are DROPPED, like DOCNOs missing
+    from the reference's map.
+
+    Scale shape: qrels are evaluation-sized (MS MARCO: 385k rows) — the
+    qrels side broadcasts and doc_stats never shuffles."""
+    return (
+        F.broadcast(qrels_natural)
+        .join(doc_stats, ["conv_id", "turn_idx"])
+        .select("query_id", F.col("doc_id").alias("rel_doc"))
+    )
