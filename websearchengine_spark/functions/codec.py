@@ -83,6 +83,11 @@ def vb_blocked_arrow(values: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     if n_blocks == 0:
         return pa.array([], type=pa.binary())
     cum = np.concatenate(([0], np.cumsum(vb_value_lengths(values))))
+    if cum[-1] > np.iinfo(np.int32).max:  # binary() offsets are int32
+        raise ValueError(
+            f"encoded stream of {cum[-1]} bytes overflows int32 Arrow "
+            "offsets — shrink the Arrow batch size"
+        )
     offsets = np.empty(n_blocks + 1, dtype=np.int32)
     offsets[:-1] = cum[starts]
     offsets[-1] = cum[ends[-1]]
@@ -102,6 +107,8 @@ def concat_binary_column(col) -> np.ndarray:
         col = col.combine_chunks()
     if len(col) == 0:
         return np.empty(0, dtype=np.uint8)
+    if not pa.types.is_binary(col.type):  # large_binary has int64 offsets
+        raise TypeError(f"expected binary column, got {col.type}")
     offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
         col.offset : col.offset + len(col) + 1
     ]
