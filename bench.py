@@ -551,6 +551,8 @@ def main() -> None:
 
         ctrl_samples: dict[int, list] = {lo: [], hi: []}
         walls: dict[str, float] = {}
+        # try/finally: a failed pinned subprocess must not leak the
+        # materialized input into tmpfs (it is pinned host RAM)
         # 2 trials per level per cycle: an interleaved A/B on one pinned
         # core showed the host drifting 10.2k → 8.2k turns/s on the SAME
         # CPU within 10 minutes, so the best-of estimate needs ≥4 samples
@@ -562,20 +564,22 @@ def main() -> None:
             if SCALING_CYCLES > 1
             else {lo: max(2, TRIALS - 1), hi: TRIALS}
         )
-        for cycle in range(SCALING_CYCLES):
-            for cores, tag in ((lo, "lo"), (hi, "mid")):
-                sub = _run_phase_subprocess(
-                    cores, f"{tag}{cycle}", SCALING_REPLICATE, trials_per[cores],
-                    input_path=scaling_input, n_input=n_scaling,
-                )
-                tp = {int(k): v for k, v in sub.pop("_tput", {}).items()}
-                tput_samples[cores].append(tp[cores])
-                c = sub.pop("_ctrl", None)
-                if c:
-                    ctrl_samples[cores].append(c)
-                for k, v in sub.items():  # per-level build walls: keep best
-                    walls[k] = min(walls.get(k, v), v)
-        shutil.rmtree(in_root, ignore_errors=True)
+        try:
+            for cycle in range(SCALING_CYCLES):
+                for cores, tag in ((lo, "lo"), (hi, "mid")):
+                    sub = _run_phase_subprocess(
+                        cores, f"{tag}{cycle}", SCALING_REPLICATE, trials_per[cores],
+                        input_path=scaling_input, n_input=n_scaling,
+                    )
+                    tp = {int(k): v for k, v in sub.pop("_tput", {}).items()}
+                    tput_samples[cores].append(tp[cores])
+                    c = sub.pop("_ctrl", None)
+                    if c:
+                        ctrl_samples[cores].append(c)
+                    for k, v in sub.items():  # per-level build walls: keep best
+                        walls[k] = min(walls.get(k, v), v)
+        finally:
+            shutil.rmtree(in_root, ignore_errors=True)
         results.update(walls)
         # best-of per level across cycles ≈ each level's uncontended
         # throughput; controls likewise (they are ceiling estimates)

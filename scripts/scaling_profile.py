@@ -128,30 +128,34 @@ def main() -> None:
         n_input = bench._materialize_input(mspark, REPLICATE, input_path)
     finally:
         mspark.stop()
-    for cores in CORES:
-        evdir = tempfile.mkdtemp(prefix=f"prof_ev_c{cores}_")
-        with tempfile.NamedTemporaryFile("r", suffix=".json") as f:
-            code = (
-                "import json, sys\n"
-                f"sys.path.insert(0, {REPO!r})\n"
-                "from scripts.scaling_profile import _phase\n"
-                f"r = _phase({cores}, {evdir!r}, {input_path!r}, {n_input})\n"
-                f"json.dump(r, open({f.name!r}, 'w'))\n"
-            )
-            cpu_list = ",".join(
-                str(c) for c in sorted(os.sched_getaffinity(0))[-cores:]
-            )
-            pin = ["taskset", "-c", cpu_list] if shutil.which("taskset") else []
-            subprocess.run(
-                pin + [sys.executable, "-c", code], cwd=REPO, check=True,
-                stdout=sys.stderr,
-            )
-            r = json.load(open(f.name))
-        logs = sorted(glob.glob(os.path.join(evdir, "*")), key=os.path.getmtime)
-        r["stages"] = _parse_eventlog(logs[-1], r["t0"]) if logs else []
-        shutil.rmtree(evdir, ignore_errors=True)
-        results[f"c{cores}"] = r
-    shutil.rmtree(in_root, ignore_errors=True)
+    try:
+        for cores in CORES:
+            evdir = tempfile.mkdtemp(prefix=f"prof_ev_c{cores}_")
+            with tempfile.NamedTemporaryFile("r", suffix=".json") as f:
+                code = (
+                    "import json, sys\n"
+                    f"sys.path.insert(0, {REPO!r})\n"
+                    "from scripts.scaling_profile import _phase\n"
+                    f"r = _phase({cores}, {evdir!r}, {input_path!r}, {n_input})\n"
+                    f"json.dump(r, open({f.name!r}, 'w'))\n"
+                )
+                cpu_list = ",".join(
+                    str(c) for c in sorted(os.sched_getaffinity(0))[-cores:]
+                )
+                pin = ["taskset", "-c", cpu_list] if shutil.which("taskset") else []
+                subprocess.run(
+                    pin + [sys.executable, "-c", code], cwd=REPO, check=True,
+                    stdout=sys.stderr,
+                )
+                r = json.load(open(f.name))
+            logs = sorted(glob.glob(os.path.join(evdir, "*")), key=os.path.getmtime)
+            r["stages"] = _parse_eventlog(logs[-1], r["t0"]) if logs else []
+            shutil.rmtree(evdir, ignore_errors=True)
+            results[f"c{cores}"] = r
+    finally:
+        # a failed pinned phase must not leak the materialized input
+        # (tmpfs = pinned host RAM) or the event-log dirs
+        shutil.rmtree(in_root, ignore_errors=True)
     print(json.dumps(results))
 
 

@@ -50,10 +50,17 @@ def ordered_partitions(
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # storage level knob (A/B): the persisted range partition is a
     # CORRECTNESS pin (see assign_doc_ids docstring), but HOW it is stored
-    # trades JVM columnar-cache build cost + GC against (tmpfs) disk bytes
-    level = getattr(
-        StorageLevel, os.environ.get("SPARK_GRAFT_PART_STORAGE", "MEMORY_AND_DISK")
-    )
+    # trades JVM columnar-cache build cost + GC against (tmpfs) disk bytes.
+    # Whitelisted to cache-ful levels: NONE (or a typo) would silently
+    # disable the pin and reintroduce the permuted-ids failure.
+    _LEVELS = ("MEMORY_AND_DISK", "DISK_ONLY", "MEMORY_ONLY", "MEMORY_AND_DISK_DESER")
+    name = os.environ.get("SPARK_GRAFT_PART_STORAGE", "MEMORY_AND_DISK")
+    if name not in _LEVELS:
+        raise ValueError(
+            f"SPARK_GRAFT_PART_STORAGE={name!r}: must be one of {_LEVELS} "
+            "(the persist is a correctness pin, not a cache)"
+        )
+    level = getattr(StorageLevel, name)
     part = (
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)

@@ -867,7 +867,7 @@ def pipeline_bench_fns() -> dict[str, callable]:
         "pl_ivf_topk": q_ivf_topk,                 # IVF-flat, nprobe=4/16
         "pl_cosine_topk": q_cosine_topk,
         "pl_quality_score": q_quality_score,
-        "pl_decontaminate": q_decontaminate,
+        "dd_decontaminate": q_decontaminate,   # same id as its gate entry
     }
 
 
