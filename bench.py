@@ -35,7 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # replication factor for the headline throughput run: big enough to amortize
-# job overhead, small enough to keep the whole bench under a few minutes
+# job overhead, small enough to keep the whole bench under a few minutes.
+# KEEP AT 96: the serving-latency/batch-eval suite runs against the index
+# this build produces, so changing the factor changes the measured corpus
+# (a 192 experiment doubled the corpus and made p50/p95 incomparable with
+# every earlier round; the throughput gain was ~1 point of overhead
+# amortization — measured 104k turns/s at 192 vs ~100k-equivalent at 96).
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "96"))
 # scaling criterion (north rule): same job at N and 4N parallelism. The
 # sandbox has one machine, so cores are the axis: N=1 vs 4N=4 — on one box,
