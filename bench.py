@@ -48,11 +48,15 @@ REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "96"))
 # separate cluster NODES do not, so low N is the faithful stand-in for
 # N vs 4N executors. Input sized so compute dominates fixed per-job latency.
 SCALING_N = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_N", "1"))
-# 288 (≈ 1.44M turns): big enough that compute dominates fixed per-job cost
-# at every level (at 192 the ~5 s fixed job overhead still costs ~2 points
-# of measured efficiency), small enough that the taskset-pinned 1-core
-# phase (see _run_phase_subprocess) keeps the whole bench under ~20 min
-SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REPLICATE", "288"))
+# 576 (≈ 2.88M turns): big enough that compute dominates fixed per-job cost
+# at every level. The post-rewrite build is ~2.4× faster, so at 288 the
+# ~4-5 s fixed job cost (sampling job, head collect, finalization) had
+# grown to ~25% of the FOUR-core wall vs ~8% at one core — systematically
+# deflating measured efficiency below the plan's asymptotic scaling
+# (observed: c4 70.8k turns/s best at 288 vs 78.4k at 576, same day).
+# Still small enough that the taskset-pinned 1-core phases keep the whole
+# bench in the ~35-min band.
+SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REPLICATE", "576"))
 # per-parallelism trials; best-of-N isolates machine capability from
 # sandbox noise (CI neighbors, GC timing) — both levels get the same N
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
