@@ -202,3 +202,30 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
         F.size(pieces).cast("long").alias("n_pieces"),
         F.size(F.array_distinct(pieces)).cast("long").alias("n_unique_pieces"),
     )
+
+
+EMAIL_PATTERN = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
+LONGNUM_PATTERN = "[0-9]{9,}"
+# ^ PII patterns chosen for exact Java-regex ↔ RE2 parity: character
+#   classes + bounded repetition only — no \d/\b shorthands, lookarounds,
+#   or backrefs (absent or different across the two engines).
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction — the C4-style cleaning step a pretraining pipeline
+    runs before anything else: emails → ``<EMAIL>``, long digit runs (≥9,
+    the id/phone shape) → ``<NUM>``, applied in that fixed order so the
+    count of digit runs is measured on the email-scrubbed text.
+
+    → (doc_id, n_emails, n_longnums, text_clean). Pure JVM column
+    expressions (regexp_extract_all / regexp_replace), narrow map, zero
+    Python and zero shuffle at any scale."""
+    emails = F.expr(f"regexp_extract_all(text, '{EMAIL_PATTERN}', 0)")
+    no_email = F.regexp_replace("text", EMAIL_PATTERN, "<EMAIL>")
+    longnums = F.regexp_extract_all(no_email, F.lit(LONGNUM_PATTERN), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(emails).cast("long").alias("n_emails"),
+        F.size(longnums).cast("long").alias("n_longnums"),
+        F.regexp_replace(no_email, LONGNUM_PATTERN, "<NUM>").alias("text_clean"),
+    )

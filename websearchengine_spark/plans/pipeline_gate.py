@@ -301,6 +301,47 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    # deterministic enrichment so the gate is non-vacuous: every 7th doc
+    # gains a synthetic email + long id (identically derived in the oracle)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ref 9876543210"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return textstats.pii_scrub(docs)
+
+
+SQL_PII_SCRUB = """
+WITH enriched AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact u' || doc_id::VARCHAR || '@example.com ref 9876543210'
+              ELSE text END AS text
+  FROM documents
+),
+no_email AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+'))::BIGINT AS n_emails,
+         regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g') AS t1
+  FROM enriched
+)
+SELECT doc_id, n_emails,
+       len(regexp_extract_all(t1, '[0-9]{9,}'))::BIGINT AS n_longnums,
+       regexp_replace(t1, '[0-9]{9,}', '<NUM>', 'g') AS text_clean
+FROM no_email
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -830,6 +871,7 @@ def pipeline_entries() -> dict[str, tuple]:
             q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME,
         ),
         "dd_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+        "ts_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "dd_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "pl_domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
         "dd_ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
