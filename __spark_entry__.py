@@ -43,11 +43,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return search(index, queries, conjunctive=True, k=10)
 
 
+# The driver's correctness artifact records at most this many queries()
+# entries, in registration order (observed in round 3: 51 registered ->
+# exactly the first 50 recorded; the 51st, mm_frame_checksums, was silently
+# absent despite running green in 0.38 s locally). Keep the registry at or
+# under the cap — merge same-operator gates rather than appending past it.
+DRIVER_GATE_CAP = 50
+
+
 def _all_entries() -> dict[str, tuple]:
     from websearchengine_spark.plans.gate_queries import core_entries
     from websearchengine_spark.plans.pipeline_gate import pipeline_entries
 
-    return {**core_entries(), **pipeline_entries()}
+    entries = {**core_entries(), **pipeline_entries()}
+    assert len(entries) <= DRIVER_GATE_CAP, (
+        f"{len(entries)} gate entries > driver cap {DRIVER_GATE_CAP}; "
+        "entries past the cap are silently dropped from CORRECTNESS_r*.json "
+        "— merge related gates instead (see q_mrr_both)"
+    )
+    return entries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -864,6 +864,55 @@ def q_batch_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_mrr(spark, qdf, qrels, root, n=10, num_partitions=4)
 
 
+def q_mrr_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + M4 in one gate (two tagged rows): the DataFrame MRR@10 harness
+    (evaluation.cpp:484-490, 715-720) and the distributed serving-engine
+    batch evaluation (evaluation.cpp:570-660) must both equal the same
+    DuckDB-derived MRR. Merged because the driver's correctness artifact
+    records at most 50 ``queries()`` entries (observed r3: 51 registered →
+    first 50 recorded, in registration order) — one gate, both paths."""
+    a = q_mrr(spark, sf_dir).select(
+        F.lit("dataframe").alias("method"), "mrr", "n_queries"
+    )
+    b = q_batch_eval_mrr(spark, sf_dir).select(
+        F.lit("serving_dist").alias("method"), "mrr", "n_queries"
+    )
+    return a.unionByName(b)
+
+
+def _sql_mrr_both() -> str:
+    base = SQL_MRR.replace("{qterms}", _qterms_values())
+    return f"""
+SELECT m.method, b.mrr, b.n_queries
+FROM ({base}) b
+CROSS JOIN (VALUES ('dataframe'), ('serving_dist')) m(method)
+"""
+
+
+def q_semantic_rerank_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic + rerank MRR@10 in one gate (two tagged rows): the
+    reference's eval_semantic_search.ipynb and eval_rerank.ipynb loops
+    (readme.md:104,113). Merged for the same 50-entry driver cap as
+    q_mrr_both; each path keeps its own independent oracle derivation."""
+    a = q_semantic_mrr(spark, sf_dir).select(
+        F.lit("semantic").alias("method"), "mrr", "n_queries"
+    )
+    b = q_rerank_mrr(spark, sf_dir).select(
+        F.lit("rerank").alias("method"), "mrr", "n_queries"
+    )
+    return a.unionByName(b)
+
+
+def _sql_semantic_rerank_mrr() -> str:
+    sem = SQL_SEMANTIC_MRR.replace("{qtext}", _qtext_values())
+    rer = _sql_rerank_mrr().replace("{qtext}", _qtext_values())
+    return f"""
+SELECT 'semantic' AS method, mrr, n_queries FROM ({sem})
+UNION ALL
+SELECT 'rerank' AS method, mrr, n_queries FROM ({rer})
+"""
+
+
 def core_entries() -> dict[str, tuple]:
     """name → (spark_fn, sql | None)."""
     return {
@@ -877,7 +926,7 @@ def core_entries() -> dict[str, tuple]:
             q_match_counts,
             SQL_MATCH_COUNTS.replace("{qterms}", _qterms_values()),
         ),
-        "a5_mrr_at_10": (q_mrr, SQL_MRR.replace("{qterms}", _qterms_values())),
+        "a5_mrr_at_10": (q_mrr_both, _sql_mrr_both()),
         "p15_docid_assignment": (q_docid_assignment, SQL_DOCID_ASSIGNMENT),
         "j3_result_freqs": (
             q_result_freqs,
@@ -888,23 +937,12 @@ def core_entries() -> dict[str, tuple]:
             SQL_SNIPPETS.replace("{qterms}", _qterms_values()),
         ),
         "m3_serving_conjunctive_topk": (_q_serving(True), _sql_bm25_ranked(True)),
-        "m4_batch_eval_mrr": (
-            q_batch_eval_mrr,
-            SQL_MRR.replace("{qterms}", _qterms_values()),
-        ),
         "m3_serving_disjunctive_topk": (_q_serving(False), _sql_bm25_ranked(False)),
         "q2_semantic_topk": (
             q_semantic_topk,
             SQL_SEMANTIC_TOPK.replace("{qtext}", _qtext_values()),
         ),
-        "a5_semantic_mrr": (
-            q_semantic_mrr,
-            SQL_SEMANTIC_MRR.replace("{qtext}", _qtext_values()),
-        ),
-        "a5_rerank_mrr": (
-            q_rerank_mrr,
-            _sql_rerank_mrr().replace("{qtext}", _qtext_values()),
-        ),
+        "a5_semantic_rerank_mrr": (q_semantic_rerank_mrr, _sql_semantic_rerank_mrr()),
         "q3_rerank_topk": (
             q_rerank_topk,
             _sql_rerank_topk().replace("{qtext}", _qtext_values()),

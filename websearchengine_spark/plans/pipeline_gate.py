@@ -854,6 +854,10 @@ WHERE COALESCE(f.root, s.doc_id) = s.doc_id
 def pipeline_entries() -> dict[str, tuple]:
     """name → (spark_fn, sql | None)."""
     return {
+        # mm_* first: round 3's tail position fell past the driver's 50-entry
+        # artifact cap (see __spark_entry__.DRIVER_GATE_CAP)
+        "mm_media_stats": (q_media_stats, SQL_MEDIA_STATS),
+        "mm_frame_checksums": (q_frame_checksums, SQL_FRAME_CHECKSUMS),
         "ts_token_stats": (q_token_stats, SQL_TOKEN_STATS),
         "ts_quality_score": (q_quality_score, SQL_QUALITY),
         "ts_lang_id": (q_lang_id, _sql_lang_id()),
@@ -894,8 +898,6 @@ def pipeline_entries() -> dict[str, tuple]:
         "sim_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
         "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
         "pl_curation_pipeline": (q_curation, _sql_curation()),
-        "mm_media_stats": (q_media_stats, SQL_MEDIA_STATS),
-        "mm_frame_checksums": (q_frame_checksums, SQL_FRAME_CHECKSUMS),
     }
 
 
