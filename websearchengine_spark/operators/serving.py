@@ -53,11 +53,17 @@ class ServingEngine:
 
         self.reader = BlockIndexReader(index_dir, result_cache=result_cache)
         self.snippets = None
-        if transcripts_path is not None:
+        # prefer the index's doc_id-clustered text sidecar (store_texts=True
+        # builds) — the page-table seek; fall back to the raw transcripts
+        texts_dir = os.path.join(index_dir, "texts")
+        has_sidecar = os.path.isdir(texts_dir)
+        if has_sidecar or transcripts_path is not None:
             from websearchengine_spark.operators.snippets import SnippetService
 
             self.snippets = SnippetService(
-                os.path.join(index_dir, "doc_stats"), transcripts_path
+                os.path.join(index_dir, "doc_stats"),
+                transcripts_path,
+                texts_path=texts_dir if has_sidecar else None,
             )
         self.semantic = None
         if embeddings_path is not None:

@@ -177,11 +177,29 @@ def make_snippet(text: str, pos: int, length: int) -> str:
 class SnippetService:
     """Serving-side snippet fetch: doc_id → turn text → snippet. The page
     table analogue — doc_stats carries (doc_id, conv_id, turn_idx, role);
-    the transcripts parquet is the corpus file."""
+    the transcripts parquet is the corpus file.
 
-    def __init__(self, doc_stats_path: str, transcripts_path: str):
+    ``texts_path`` (the index's doc_id-clustered text sidecar, written by
+    ``build_block_index(store_texts=True)``) is the scale path: it is the
+    reference's O(1) ``begin/end`` byte seek into docs.txt (main.cpp:498,
+    create_index.cpp:152-156) — a doc_id isin filter over a doc_id-sorted
+    table prunes to the k row groups holding the k results. Without it the
+    fallback filters the raw transcripts by conv_id, which at corpus scale
+    is a scan unless the table happens to be clustered by conv_id."""
+
+    def __init__(
+        self,
+        doc_stats_path: str,
+        transcripts_path: str | None = None,
+        texts_path: str | None = None,
+    ):
         self._doc_stats = ds.dataset(doc_stats_path)
-        self._transcripts = ds.dataset(transcripts_path)
+        self._transcripts = (
+            ds.dataset(transcripts_path) if transcripts_path is not None else None
+        )
+        self._texts = ds.dataset(texts_path) if texts_path is not None else None
+        if self._texts is None and self._transcripts is None:
+            raise ValueError("need texts_path (sidecar) or transcripts_path")
 
     def meta_for(self, doc_ids: list[int]) -> dict[int, dict]:
         """doc_id → {conv_id, turn_idx, role} — the `url` analogue of the
@@ -200,6 +218,12 @@ class SnippetService:
         }
 
     def texts_for(self, doc_ids: list[int]) -> dict[int, str]:
+        if self._texts is not None:
+            rows = self._texts.to_table(
+                filter=ds.field("doc_id").isin(doc_ids),
+                columns=["doc_id", "text"],
+            ).to_pylist()
+            return {r["doc_id"]: r["text"] for r in rows}
         keys = self._doc_stats.to_table(
             filter=ds.field("doc_id").isin(doc_ids),
             columns=["doc_id", "conv_id", "turn_idx"],

@@ -77,67 +77,116 @@ class _LRU(OrderedDict):
 
 
 @dataclass
-class _Block:
-    doc_lo: int
-    doc_hi: int
-    n: int
-    ids_vb: bytes
-    tfs_vb: bytes
-    dls_vb: bytes
-    max_tfc: float
-    min_tfc: float
+class _Leaf:
+    """One superblock's leaf-block arrays (metadata + raw varbyte payloads),
+    sorted by doc_lo. The unit of lazy fetch: a query touches a superblock →
+    its ≤ SUPERBLOCK_FACTOR leaf blocks arrive in one pruned parquet read."""
+
+    los: np.ndarray       # int64 doc_lo per leaf block
+    his: np.ndarray       # int64 doc_hi
+    ns: np.ndarray        # int64 posting count
+    max_tfc: np.ndarray   # float64 BM25 tf-component block max
+    min_tfc: np.ndarray   # float64 block min (negative-IDF bound support)
+    ids_vb: list          # raw varbyte gap payloads (decoded lazily)
+    tfs_vb: list
+    dls_vb: list
 
 
 class TermCursor:
-    """Cursor over one term's ordered blocks with lazy decode + skip.
+    """Two-level cursor over one term's ordered posting blocks: superblock
+    skip (bisect over ~128-block summaries) → leaf-block skip (bisect within
+    the superblock) → lazy varbyte decode of the one landing block. Leaf
+    metadata + payloads are fetched per SUPERBLOCK on demand through the
+    reader (LRU-shared across queries), so a cursor over a 10^9-posting
+    stopword term materializes O(df / 16384) superblock rows up front and
+    only the leaf data its skips actually land in — never the whole list.
     Used by the galloping conjunctive path (selective queries); the
     disjunctive paths are block/array-vectorized and bypass cursors."""
 
-    __slots__ = ("term", "df", "idf", "avg_dl", "blocks", "his", "bi", "pos",
-                 "ids", "tfs", "dls")
+    __slots__ = ("term", "df", "idf", "avg_dl", "reader", "sb_los", "sb_his",
+                 "sbi", "leaf", "bi", "pos", "ids", "tfs", "dls")
 
     def __init__(self, term: str, df: int, idf: float, avg_dl: float,
-                 blocks: list[_Block]):
+                 reader: "BlockIndexReader", sbm):
         self.term = term
         self.df = df
         self.idf = idf
         self.avg_dl = avg_dl
-        self.blocks = blocks
-        self.his = [b.doc_hi for b in blocks]
+        self.reader = reader
+        self.sb_los, self.sb_his = sbm[0], sbm[1]
+        # LAZY: no leaf data is fetched until a skip actually lands in a
+        # superblock — a cursor that galloping immediately jumps past its
+        # first superblocks never touches their leaf blocks at all
+        self.sbi = 0
+        self.leaf = None
+        self.ids = None
+        self.bi = 0
+        self.pos = 0
+
+    def _enter_sb(self, sbi: int):
+        if sbi >= len(self.sb_his):
+            self.sbi = len(self.sb_his)
+            self.ids = None
+            return
+        self.sbi = sbi
+        self.leaf = self.reader._leaf_for(self.term, sbi)
         self.bi = 0
         self.pos = 0
         self._decode()
 
     def _decode(self):
-        if self.bi < len(self.blocks):
-            b = self.blocks[self.bi]
+        leaf = self.leaf
+        if self.bi < len(leaf.his):
+            i = self.bi
             # ids_vb holds gaps with the block head measured from doc_lo - 1
             self.ids = (
-                np.int64(b.doc_lo - 1)
-                + np.cumsum(vb_decode(b.ids_vb), dtype=np.uint64).astype(np.int64)
+                np.int64(leaf.los[i] - 1)
+                + np.cumsum(
+                    vb_decode(leaf.ids_vb[i]), dtype=np.uint64
+                ).astype(np.int64)
             )
-            self.tfs = vb_decode(b.tfs_vb)
-            self.dls = vb_decode(b.dls_vb)
-        else:
-            self.ids = None
+            self.tfs = vb_decode(leaf.tfs_vb[i])
+            self.dls = vb_decode(leaf.dls_vb[i])
+        else:  # past the superblock's last block → first block of the next
+            self._enter_sb(self.sbi + 1)
 
     def cur_doc(self) -> int:
-        if self.ids is None:
+        if self.sbi >= len(self.sb_his):
             return INF
+        if self.ids is None:
+            self._enter_sb(self.sbi)
+            if self.ids is None:
+                return INF
         return int(self.ids[self.pos])
 
     def next_geq(self, target: int) -> int:
         """Advance to the first posting with doc_id ≥ target (galloping:
-        bisect over block doc_hi skip pointers, then searchsorted)."""
-        if self.ids is None:
+        bisect superblock doc_hi pointers — WITHOUT loading skipped
+        superblocks — then leaf doc_hi pointers, then searchsorted inside
+        the one decoded block)."""
+        if self.sbi >= len(self.sb_his):
             return INF
-        if target <= self.cur_doc():
-            return self.cur_doc()
-        bi = bisect_left(self.his, target, lo=self.bi)
-        if bi >= len(self.blocks):
-            self.bi = len(self.blocks)
+        if self.ids is not None and target <= int(self.ids[self.pos]):
+            return int(self.ids[self.pos])
+        if target > self.sb_his[self.sbi]:
+            sbi = bisect_left(self.sb_his, target, lo=self.sbi + 1)
+            if sbi >= len(self.sb_his):
+                self.sbi = len(self.sb_his)
+                self.ids = None
+                return INF
+            self.sbi = sbi
+            self.leaf = None
             self.ids = None
-            return INF
+            self.bi = 0
+            self.pos = 0
+        if self.ids is None:
+            self._enter_sb(self.sbi)
+            if self.ids is None:
+                return INF
+        bi = bisect_left(self.leaf.his, target, lo=self.bi)
+        if bi >= len(self.leaf.his):  # safety: gap at superblock tail
+            self._enter_sb(self.sbi + 1)
+            return self.cur_doc()
         if bi != self.bi:
             self.bi = bi
             self._decode()
@@ -145,8 +194,8 @@ class TermCursor:
         self.pos = int(np.searchsorted(self.ids, target, side="left"))
         if self.pos >= len(self.ids):  # gap between blocks
             self.bi += 1
-            self._decode()
             self.pos = 0
+            self._decode()
             if self.ids is None:
                 return INF
         return int(self.ids[self.pos])
@@ -163,8 +212,10 @@ class TermCursor:
         return self.idf * tf_c
 
     def block_ub(self) -> float:
-        b = self.blocks[self.bi]
-        return max(self.idf * b.max_tfc, self.idf * b.min_tfc)
+        i = self.bi
+        return max(
+            self.idf * self.leaf.max_tfc[i], self.idf * self.leaf.min_tfc[i]
+        )
 
 
 class BlockIndexReader:
@@ -182,11 +233,11 @@ class BlockIndexReader:
         self.paths = BlockIndexPaths(root)
         meta = pq.read_table(self.paths.meta).to_pylist()[0]
         fmt = int(meta.get("block_format", 1))
-        if fmt != 2:
+        if fmt != 3:
             raise ValueError(
                 f"index at {root} has block_format {fmt}; this reader "
-                "requires format 2 (block-head gap from doc_lo - 1) — "
-                "rebuild the index"
+                "requires format 3 (block-head gap from doc_lo - 1 + "
+                "superblock metadata rows) — rebuild the index"
             )
         self.n_docs = int(meta["n_docs"])
         self.avg_dl = float(meta["avg_dl"])
@@ -204,11 +255,22 @@ class BlockIndexReader:
             self._lex_ds = None
         self._result_cache = _LRU(result_cache)
         self._posting_cache = _LRU(posting_cache)
+        # cumulative metadata/payload fetch instrumentation (bench snapshots
+        # deltas around a cold query to prove the two-level fetch is bounded)
+        self.sb_rows_fetched = 0
+        self.leaf_rows_fetched = 0
         # queries whose total candidate-posting count is below this run the
         # vectorized term-at-a-time scorer (numpy, C-speed per posting);
         # above it, block-max WAND can skip whole blocks without decoding
         self.taat_threshold = taat_threshold
         self.dense_docs_max = dense_docs_max
+        # terms with at most this many superblocks are leaf-prefetched WHOLE
+        # in the first read that touches them (≤ 8·16384 ≈ 128k postings —
+        # a bounded, scale-safe eager read that collapses the lazy per-
+        # superblock round trips most queries would otherwise pay; a true
+        # stopword term at 10^10+ docs has thousands of superblocks and
+        # stays on the lazy path)
+        self.prefetch_sbs = 8
         # warm the pyarrow scan machinery once (thread pools, filesystem,
         # codec init): the reference's startup similarly pre-loads its
         # lexicon/page table (main.cpp:338-373) — without this the FIRST
@@ -236,39 +298,130 @@ class BlockIndexReader:
             if (v := self._posting_cache.get_(("lex", t))) is not None
         }
 
-    def _fetch_blocks(self, terms: list[str]) -> dict[str, list[_Block]]:
-        missing = [t for t in terms if ("blk", t) not in self._posting_cache]
+    def _fetch_superblocks(self, terms: list[str]) -> dict[str, tuple]:
+        """term → (los, his, ns, max_tfc, min_tfc) superblock arrays sorted
+        by doc_lo (kind=1 rows — O(df / (block_size · SUPERBLOCK_FACTOR))
+        rows per term, the ONLY per-term-proportional metadata a query ever
+        loads eagerly). LRU-cached."""
+        missing = [t for t in terms if ("sbm", t) not in self._posting_cache]
         if missing:
             buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
-            flt = (ds.field("bucket").isin(buckets)) & (ds.field("term").isin(missing))
-            tbl = self._blocks_ds.to_table(filter=flt)
-            # columnar extraction — per-row dicts (to_pylist) cost ~10 µs a
-            # row, which at 30k blocks/term for a dense 5M-doc term is
-            # seconds of pure conversion
+            flt = (
+                (ds.field("bucket").isin(buckets))
+                & (ds.field("kind") == 1)
+                & (ds.field("term").isin(missing))
+            )
+            tbl = self._blocks_ds.to_table(
+                filter=flt,
+                columns=["term", "doc_lo", "doc_hi", "n", "max_tfc", "min_tfc"],
+            )
+            self.sb_rows_fetched += tbl.num_rows
             tcol = tbl.column("term").to_pylist()
             lo = tbl.column("doc_lo").to_numpy()
             hi = tbl.column("doc_hi").to_numpy()
             ns = tbl.column("n").to_numpy()
-            ids_vb = tbl.column("ids_vb").to_pylist()
-            tfs_vb = tbl.column("tfs_vb").to_pylist()
-            dls_vb = tbl.column("dls_vb").to_pylist()
             mx = tbl.column("max_tfc").to_numpy()
             mn = tbl.column("min_tfc").to_numpy()
             per: dict[str, list[int]] = {t: [] for t in missing}
             for i, t in enumerate(tcol):
                 per[t].append(i)
             for t in missing:
-                idxs = sorted(per.get(t, []), key=lambda i: lo[i])
-                blks = [
-                    _Block(
-                        int(lo[i]), int(hi[i]), int(ns[i]),
-                        ids_vb[i], tfs_vb[i], dls_vb[i],
-                        float(mx[i]), float(mn[i]),
-                    )
-                    for i in idxs
-                ]
-                self._posting_cache.put(("blk", t), blks)
-        return {t: self._posting_cache.get_(("blk", t)) or [] for t in terms}
+                idxs = per.get(t, [])
+                if not idxs:
+                    self._posting_cache.put(("sbm", t), None)
+                    continue
+                o = np.array(idxs)[np.argsort(lo[idxs], kind="stable")]
+                self._posting_cache.put(
+                    ("sbm", t),
+                    (
+                        lo[o].astype(np.int64), hi[o].astype(np.int64),
+                        ns[o].astype(np.int64), mx[o], mn[o],
+                    ),
+                )
+        return {
+            t: v
+            for t in terms
+            if (v := self._posting_cache.get_(("sbm", t))) is not None
+        }
+
+    def _fetch_leaf_batch(self, wants: list[tuple[str, int, int, int]]) -> None:
+        """Fetch the leaf blocks (metadata + raw payloads) of the given
+        (term, sb_index, sb_doc_lo, sb_doc_hi) superblocks in ONE pruned
+        parquet read, populating the ("leaf", term, sb_index) LRU slots.
+        Leaf rows belong to exactly one superblock (superblock ranges
+        partition each term's docID axis), so a doc_lo BETWEEN filter is an
+        exact membership test."""
+        todo = [w for w in wants if ("leaf", w[0], w[1]) not in self._posting_cache]
+        if not todo:
+            return
+        by_term: dict[str, list[tuple[int, int, int]]] = {}
+        for t, si, lo_, hi_ in todo:
+            by_term.setdefault(t, []).append((si, lo_, hi_))
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in by_term})
+        expr = None
+        for t, ranges in by_term.items():
+            rng = None
+            for _si, lo_, hi_ in ranges:
+                e = (ds.field("doc_lo") >= lo_) & (ds.field("doc_lo") <= hi_)
+                rng = e if rng is None else (rng | e)
+            e = (ds.field("term") == t) & rng
+            expr = e if expr is None else (expr | e)
+        flt = (ds.field("bucket").isin(buckets)) & (ds.field("kind") == 0) & expr
+        tbl = self._blocks_ds.to_table(
+            filter=flt,
+            columns=[
+                "term", "doc_lo", "doc_hi", "n",
+                "max_tfc", "min_tfc", "ids_vb", "tfs_vb", "dls_vb",
+            ],
+        )
+        self.leaf_rows_fetched += tbl.num_rows
+        tcol = tbl.column("term").to_pylist()
+        lo = tbl.column("doc_lo").to_numpy()
+        hi = tbl.column("doc_hi").to_numpy()
+        ns = tbl.column("n").to_numpy()
+        mx = tbl.column("max_tfc").to_numpy()
+        mn = tbl.column("min_tfc").to_numpy()
+        ids_vb = tbl.column("ids_vb").to_pylist()
+        tfs_vb = tbl.column("tfs_vb").to_pylist()
+        dls_vb = tbl.column("dls_vb").to_pylist()
+        per: dict[str, list[int]] = {t: [] for t in by_term}
+        for i, t in enumerate(tcol):
+            per[t].append(i)
+        for t, ranges in by_term.items():
+            idxs = per.get(t, [])
+            o = (
+                np.array(idxs)[np.argsort(lo[idxs], kind="stable")]
+                if idxs
+                else np.array([], dtype=np.int64)
+            )
+            slos = lo[o] if len(o) else np.array([], dtype=np.int64)
+            for si, sb_lo, sb_hi in ranges:
+                a = int(np.searchsorted(slos, sb_lo, side="left"))
+                b = int(np.searchsorted(slos, sb_hi, side="right"))
+                sel = o[a:b]
+                self._posting_cache.put(
+                    ("leaf", t, si),
+                    _Leaf(
+                        lo[sel].astype(np.int64), hi[sel].astype(np.int64),
+                        ns[sel].astype(np.int64), mx[sel], mn[sel],
+                        [ids_vb[i] for i in sel],
+                        [tfs_vb[i] for i in sel],
+                        [dls_vb[i] for i in sel],
+                    ),
+                )
+
+    def _leaf_for(self, term: str, sb_idx: int) -> _Leaf:
+        """The leaf blocks of one (term, superblock) — LRU hit or a single
+        on-demand fetch (cursors prefetch in batches; this is the miss
+        path)."""
+        leaf = self._posting_cache.get_(("leaf", term, sb_idx))
+        if leaf is None:
+            sbm = self._fetch_superblocks([term]).get(term)
+            self._fetch_leaf_batch(
+                [(term, sb_idx, int(sbm[0][sb_idx]), int(sbm[1][sb_idx]))]
+            )
+            leaf = self._posting_cache.get_(("leaf", term, sb_idx))
+        return leaf
 
     def _fetch_arrays(self, terms: list[str]) -> dict[str, tuple]:
         """term → decoded (ids:int64, tfs:f64, dls:f64) full posting arrays,
@@ -278,11 +431,16 @@ class BlockIndexReader:
         missing = [t for t in terms if ("arr", t) not in self._posting_cache]
         if missing:
             buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
-            flt = (ds.field("bucket").isin(buckets)) & (ds.field("term").isin(missing))
+            flt = (
+                (ds.field("bucket").isin(buckets))
+                & (ds.field("kind") == 0)
+                & (ds.field("term").isin(missing))
+            )
             tbl = self._blocks_ds.to_table(
                 filter=flt,
                 columns=["term", "doc_lo", "n", "ids_vb", "tfs_vb", "dls_vb"],
             )
+            self.leaf_rows_fetched += tbl.num_rows
             tcol = tbl.column("term").to_pylist()
             lo = tbl.column("doc_lo").to_numpy()
             ns_all = tbl.column("n").to_numpy()
@@ -320,16 +478,60 @@ class BlockIndexReader:
         }
 
     def _cursors(self, terms: list[str]) -> list[TermCursor]:
+        """Two-level cursors with lead-driven prefetch. The galloping
+        intersection only ever calls ``next_geq(d)`` for docIDs ``d`` of the
+        LEAD (rarest) term, so the exact set of superblocks every other
+        cursor will touch is known up front: the covering superblock of each
+        lead posting. Prefetching them in ONE batched read replaces what
+        would otherwise be O(superblocks-touched) round trips — and the
+        dense terms' untouched superblocks (the overwhelming majority at
+        stopword df) are never read at all, metadata or payload."""
         lex = self.lexicon_rows(terms)
         present = [t for t in terms if t in lex]  # OOV silently skipped
-        blocks = self._fetch_blocks(present)
+        sbms = self._fetch_superblocks(present)
+        present = [t for t in present if t in sbms]
+        if not present:
+            return []
+        lead = min(present, key=lambda t: int(lex[t]))
+        l_los, l_his = sbms[lead][0], sbms[lead][1]
+        wants = [
+            (lead, i, int(l_los[i]), int(l_his[i])) for i in range(len(l_los))
+        ]
+        self._fetch_leaf_batch(wants)
+        # the lead's docIDs, decoded once (bounded by min_df — the router
+        # only picks the gallop path when that is small)
+        lead_ids = []
+        for i in range(len(l_los)):
+            leaf = self._leaf_for(lead, i)
+            for j in range(len(leaf.los)):
+                lead_ids.append(
+                    np.int64(leaf.los[j] - 1)
+                    + np.cumsum(
+                        vb_decode(leaf.ids_vb[j]), dtype=np.uint64
+                    ).astype(np.int64)
+                )
+        if lead_ids:
+            lead_docs = np.concatenate(lead_ids)
+            wants = []
+            for t in present:
+                if t == lead:
+                    continue
+                los, his = sbms[t][0], sbms[t][1]
+                if len(his) <= self.prefetch_sbs:
+                    sis = range(len(his))
+                else:
+                    cover = np.unique(np.searchsorted(his, lead_docs, side="left"))
+                    sis = cover[cover < len(his)].tolist()
+                for si in sis:
+                    wants.append((t, si, int(los[si]), int(his[si])))
+            self._fetch_leaf_batch(wants)
         cursors = []
         for t in present:
             df = int(lex[t])
-            idf = math.log((self.n_docs - df + 0.5) / (df + 0.5))
-            if blocks[t]:
-                cursors.append(TermCursor(t, df, idf, self.avg_dl, blocks[t]))
-        return cursors
+            cursors.append(
+                TermCursor(t, df, self._idf(df), self.avg_dl, self, sbms[t])
+            )
+        return cursors  # every present term has ≥1 superblock by construction
 
     def _idf(self, df: int) -> float:
         return math.log((self.n_docs - df + 0.5) / (df + 0.5))
@@ -456,27 +658,37 @@ class BlockIndexReader:
         return [(i + 1, int(cand[j]), float(s[j])) for i, j in enumerate(sel)]
 
     def _search_wand_blocks(self, present, lex, k):
-        """Block-at-a-time block-max WAND (disjunctive). No doc-at-a-time
-        Python loop (the prior version stepped ~5 µs/posting in Python —
-        837 ms/q measured on dense disjunctions):
+        """Two-level block-max WAND (disjunctive): superblock pruning first,
+        leaf pruning among survivors, payload decode last. No doc-at-a-time
+        Python loop, and — the 10^12-doc requirement — no per-term
+        O(df/block_size) metadata materialization: the only eagerly-loaded
+        per-term state is O(df / (block_size · SUPERBLOCK_FACTOR)) superblock
+        rows (~16384 postings each).
 
-        1. From block METADATA only (no decode), cut the docID axis into
-           elementary intervals — every block doc_lo / doc_hi+1 is a
-           boundary, so each (term, interval) is covered by exactly one
-           block or none.
-        2. Upper-bound each interval: Σ_t max(block_ub, 0). max(·, 0)
-           because membership inside a covering block is unknown (an absent
-           doc contributes exactly 0), which also keeps negative-IDF block
-           bounds valid (SURVEY.md §4.4).
-        3. Score intervals in DESCENDING bound order in geometrically
-           growing batches, fully vectorized: decode only blocks covering a
-           selected interval (once, cached for the call), gather member
-           postings, compress candidates, scatter-add per term in
-           sorted-term order, push survivors into the bounded heap.
-        4. Stop when the next interval bound is strictly below the heap
-           threshold θ: every unscored doc then scores < θ — it can neither
-           enter the top k nor tie (strict <, so ties are always scored).
-           The (score, -doc_id) heap yields the exact reference ordering
+        1. From SUPERBLOCK metadata only, cut the docID axis into elementary
+           intervals — every superblock doc_lo / doc_hi+1 is a boundary, so
+           each (term, interval) is covered by exactly one superblock or
+           none. Upper-bound each interval by Σ_t max(sb_ub, 0) (max(·, 0)
+           because membership is unknown: an absent doc contributes exactly
+           0 — which also keeps negative-IDF bounds valid, SURVEY.md §4.4).
+        2. Process intervals in DESCENDING bound order in geometrically
+           growing batches. A batch fetches the leaf blocks (metadata +
+           payload) of exactly the superblocks covering its intervals, in
+           ONE range-pruned parquet read (LRU-shared across queries).
+        3. REFINE within the batch: re-cut the selected intervals at leaf-
+           block boundaries and re-bound with leaf maxima; leaf intervals
+           whose Σ_t max(leaf_ub, 0) < θ are dropped — exact, because every
+           term's covering superblock (hence all its leaf metadata over the
+           interval) is in hand, and absent terms contribute 0.
+        4. Decode only leaf blocks covering surviving leaf intervals (once,
+           cached for the call), gather member postings, compress
+           candidates, scatter-add per term in sorted-term order (= the
+           oracle's float summation order), push survivors into the bounded
+           heap.
+        5. Stop when the next interval bound is strictly below θ: every
+           unscored doc then scores < θ — it can neither enter the top k
+           nor tie (strict <, so ties are always scored). The
+           (score, -doc_id) heap yields the exact reference ordering
            (main.cpp:626-630) regardless of push order.
 
         Returns None to signal "bounds don't prune" (dense query with
@@ -484,25 +696,15 @@ class BlockIndexReader:
         scorer, whose flat/compressed accumulator is strictly faster when
         ~everything must be scored anyway.
         """
-        blocks = self._fetch_blocks(present)
-        metas = []  # (idf, blks, ubs, ns) in sorted-term order
+        sbms = self._fetch_superblocks(present)
+        metas = []  # (term, idf, los, his, ubs, ns) in sorted-term order
         for t in sorted(present):
-            blks = blocks.get(t) or []
-            if not blks:
+            sbm = sbms.get(t)
+            if sbm is None:
                 continue
+            los, his, ns, mx, mn = sbm
             idf = self._idf(int(lex[t]))
-            mx = np.array([b.max_tfc for b in blks])
-            mn = np.array([b.min_tfc for b in blks])
-            metas.append(
-                (
-                    idf,
-                    blks,
-                    np.array([b.doc_lo for b in blks], dtype=np.int64),
-                    np.array([b.doc_hi for b in blks], dtype=np.int64),
-                    np.maximum(idf * mx, idf * mn),
-                    np.array([b.n for b in blks], dtype=np.int64),
-                )
-            )
+            metas.append((t, idf, los, his, np.maximum(idf * mx, idf * mn), ns))
         if not metas:
             return []
         bounds = np.unique(
@@ -513,10 +715,10 @@ class BlockIndexReader:
         total_ub = np.zeros(n_int)
         est_cost = np.zeros(n_int)
         covers = []
-        for idf, blks, los, his, ubs, ns in metas:
+        for _t, idf, los, his, ubs, ns in metas:
             ci = np.searchsorted(his, starts, side="left")
-            cis = np.minimum(ci, len(blks) - 1)
-            covered = (ci < len(blks)) & (los[cis] <= starts)
+            cis = np.minimum(ci, len(his) - 1)
+            covered = (ci < len(his)) & (los[cis] <= starts)
             covers.append(np.where(covered, cis, -1))
             total_ub += np.where(covered, np.maximum(ubs[cis], 0.0), 0.0)
             est_cost += np.where(covered, ns[cis], 0)
@@ -525,7 +727,7 @@ class BlockIndexReader:
         cum_cost = np.cumsum(est_cost[order])
         heap: list[tuple[float, int]] = []
         in_batch = np.zeros(n_int, dtype=bool)
-        decoded: list[dict] = [dict() for _ in metas]
+        decoded: list[dict] = [dict() for _ in metas]  # (sb, leaf) → arrays
         pos = 0
         budget = float(max(64 * k, 1024))
         scored_postings = 0  # instrumentation: how much pruning bought
@@ -551,51 +753,179 @@ class BlockIndexReader:
             budget *= 4
             in_batch[:] = False
             in_batch[sel] = True
-            gathered = []  # (ids, contribs) per term, sorted-term order
-            for (idf, blks, los, his, ubs, ns), cover, dec in zip(metas, covers, decoded):
+            # ---- leaf fetch: exactly the superblocks covering the batch
+            needs = []
+            wants = []
+            for (t, _idf, los, his, _ubs, _ns), cover in zip(metas, covers):
                 civ = cover[sel]
                 need = np.unique(civ[civ >= 0])
+                needs.append(need)
+                grab = (
+                    range(len(los))
+                    if len(los) <= self.prefetch_sbs
+                    else need.tolist()
+                )
+                for si in grab:
+                    if ("leaf", t, si) not in self._posting_cache:
+                        wants.append((t, si, int(los[si]), int(his[si])))
+            self._fetch_leaf_batch(wants)
+            # ---- leaf-level refinement inside the selected intervals
+            # interval i = [bounds[i], bounds[i+1]) — include both edges so
+            # no leaf interval straddles a selected-interval boundary
+            lb = [bounds[sel], bounds[sel + 1]]
+            leafs = []  # per term: (leaf_los, leaf_his, leaf_ubs, sb_of, j_of)
+            for (t, idf, _los, _his, _ubs, _ns), need in zip(metas, needs):
                 if need.size == 0:
+                    leafs.append(None)
                     continue
-                miss = [bi for bi in need.tolist() if bi not in dec]
-                if miss:
-                    # ONE concatenated vb_decode per column for all missing
-                    # blocks (per-block decode calls have ~10 µs fixed cost)
-                    mns = np.array([blks[bi].n for bi in miss], dtype=np.int64)
-                    st = np.concatenate(([0], np.cumsum(mns)[:-1]))
-                    raw = vb_decode(b"".join(blks[bi].ids_vb for bi in miss))
-                    cs = np.cumsum(raw, dtype=np.uint64)
-                    mlos = np.array(
-                        [blks[bi].doc_lo for bi in miss], dtype=np.uint64
-                    )
-                    # block-head gap is from (doc_lo - 1) — fold the base in
-                    off = cs[st] - raw[st] + np.uint64(1) - mlos
-                    ids_all = (cs - np.repeat(off, mns)).astype(np.int64)
-                    tfs = vb_decode(b"".join(blks[bi].tfs_vb for bi in miss)).astype(np.float64)
-                    dls = vb_decode(b"".join(blks[bi].dls_vb for bi in miss)).astype(np.float64)
-                    tfc = tfs * (K1 + 1) / (tfs + K1 * (1 - B + B * dls / self.avg_dl))
-                    contrib_all = idf * tfc
-                    for j, bi in enumerate(miss):
-                        s0, s1 = int(st[j]), int(st[j] + mns[j])
-                        dec[bi] = (ids_all[s0:s1], contrib_all[s0:s1])
-                ids = np.concatenate([dec[bi][0] for bi in need.tolist()])
-                co = np.concatenate([dec[bi][1] for bi in need.tolist()])
-                iv = np.searchsorted(bounds, ids, side="right") - 1
-                keep = in_batch[iv]
-                if keep.any():
-                    gathered.append((ids[keep], co[keep]))
-            if not gathered:
+                parts = [self._leaf_for(t, int(si)) for si in need.tolist()]
+                llos = np.concatenate([pt.los for pt in parts])
+                lhis = np.concatenate([pt.his for pt in parts])
+                lubs = np.concatenate(
+                    [
+                        np.maximum(idf * pt.max_tfc, idf * pt.min_tfc)
+                        for pt in parts
+                    ]
+                )
+                lns = np.concatenate([pt.ns for pt in parts])
+                sb_of = np.repeat(need, [len(pt.los) for pt in parts])
+                j_of = np.concatenate(
+                    [np.arange(len(pt.los), dtype=np.int64) for pt in parts]
+                )
+                leafs.append((llos, lhis, lubs, lns, sb_of, j_of))
+                lb.append(llos)
+                lb.append(lhis + 1)
+            lbounds = np.unique(np.concatenate(lb))
+            lstarts = lbounds[:-1]
+            iv = np.searchsorted(bounds, lstarts, side="right") - 1
+            inside = in_batch[iv]
+            l_ub = np.zeros(len(lstarts))
+            l_cost = np.zeros(len(lstarts))
+            lcovers = []
+            for leaf in leafs:
+                if leaf is None:
+                    lcovers.append(None)
+                    continue
+                llos, lhis, lubs, lns, _sb_of, _j_of = leaf
+                ci = np.searchsorted(lhis, lstarts, side="left")
+                cis = np.minimum(ci, len(lhis) - 1)
+                covered = (ci < len(lhis)) & (llos[cis] <= lstarts)
+                lcovers.append(np.where(covered, cis, -1))
+                l_ub += np.where(covered, np.maximum(lubs[cis], 0.0), 0.0)
+                l_cost += np.where(covered, lns[cis], 0.0)
+            # ---- inner leaf-level loop: same descending-bound batching as
+            # the outer loop, but over leaf intervals — θ updates BETWEEN
+            # sub-batches, so leaf-granularity pruning engages even while
+            # the heap is still filling (one-shot scoring of a whole
+            # superblock batch would decode ~16384 postings before the
+            # first θ exists)
+            l_idx = np.nonzero(inside)[0]
+            if len(l_idx) == 0:
                 continue
-            scored_postings += sum(len(ids) for ids, _ in gathered)
-            cand = np.unique(np.concatenate([ids for ids, _ in gathered]))
-            acc = np.zeros(len(cand))
-            for ids, co in gathered:  # sorted-term order = oracle float order
-                acc[np.searchsorted(cand, ids)] += co
-            if len(heap) == k:
-                m = acc >= theta  # strict-< prune only; == θ ties still pushed
-                cand, acc = cand[m], acc[m]
-            for d, s in zip(cand.tolist(), acc.tolist()):
-                self._push(heap, k, s, d)
+            lorder = l_idx[np.argsort(-l_ub[l_idx], kind="stable")]
+            lub_sorted = l_ub[lorder]
+            lcum = np.cumsum(l_cost[lorder])
+            lpos = 0
+            lbudget = float(max(64 * k, 1024))
+            alive = np.zeros(len(lstarts), dtype=bool)
+            while lpos < len(lorder):
+                theta = heap[0][0] if len(heap) == k else -math.inf
+                if lub_sorted[lpos] < theta:
+                    break
+                ltgt = (lcum[lpos - 1] if lpos else 0.0) + lbudget
+                lend = min(
+                    max(int(np.searchsorted(lcum, ltgt, side="left")) + 1, lpos + 1),
+                    len(lorder),
+                )
+                if len(heap) == k:
+                    cut = int(
+                        np.searchsorted(-lub_sorted[lpos:lend], -theta, side="right")
+                    )
+                    lend = lpos + max(cut, 1)
+                lsel = lorder[lpos:lend]
+                lpos = lend
+                lbudget *= 4
+                alive[:] = False
+                alive[lsel] = True
+                # ---- decode + gather (sorted-term order)
+                gathered = []  # (ids, contribs) per term
+                for (t, idf, *_m), leaf, lcover, dec in zip(
+                    metas, leafs, lcovers, decoded
+                ):
+                    if leaf is None:
+                        continue
+                    _llos, _lhis, _lubs, _lns, sb_of, j_of = leaf
+                    cb = lcover[lsel]
+                    needb = np.unique(cb[cb >= 0])
+                    if needb.size == 0:
+                        continue
+                    miss = [
+                        ci
+                        for ci in needb.tolist()
+                        if (int(sb_of[ci]), int(j_of[ci])) not in dec
+                    ]
+                    if miss:
+                        # ONE concatenated vb_decode per column for all
+                        # missing blocks (per-block decode calls have
+                        # ~10 µs fixed cost)
+                        mparts = [
+                            self._leaf_for(t, int(sb_of[ci])) for ci in miss
+                        ]
+                        mjs = [int(j_of[ci]) for ci in miss]
+                        mns = np.array(
+                            [int(pt.ns[j]) for pt, j in zip(mparts, mjs)],
+                            dtype=np.int64,
+                        )
+                        st = np.concatenate(([0], np.cumsum(mns)[:-1]))
+                        raw = vb_decode(
+                            b"".join(pt.ids_vb[j] for pt, j in zip(mparts, mjs))
+                        )
+                        cs = np.cumsum(raw, dtype=np.uint64)
+                        mlos = np.array(
+                            [int(pt.los[j]) for pt, j in zip(mparts, mjs)],
+                            dtype=np.uint64,
+                        )
+                        # block-head gap is from (doc_lo - 1) — fold the
+                        # base back in
+                        off = cs[st] - raw[st] + np.uint64(1) - mlos
+                        ids_all = (cs - np.repeat(off, mns)).astype(np.int64)
+                        tfs = vb_decode(
+                            b"".join(pt.tfs_vb[j] for pt, j in zip(mparts, mjs))
+                        ).astype(np.float64)
+                        dls = vb_decode(
+                            b"".join(pt.dls_vb[j] for pt, j in zip(mparts, mjs))
+                        ).astype(np.float64)
+                        tfc = tfs * (K1 + 1) / (
+                            tfs + K1 * (1 - B + B * dls / self.avg_dl)
+                        )
+                        contrib_all = idf * tfc
+                        for jj, ci in enumerate(miss):
+                            s0, s1 = int(st[jj]), int(st[jj] + mns[jj])
+                            dec[(int(sb_of[ci]), int(j_of[ci]))] = (
+                                ids_all[s0:s1],
+                                contrib_all[s0:s1],
+                            )
+                    keys = [
+                        (int(sb_of[ci]), int(j_of[ci])) for ci in needb.tolist()
+                    ]
+                    ids = np.concatenate([dec[ky][0] for ky in keys])
+                    co = np.concatenate([dec[ky][1] for ky in keys])
+                    liv = np.searchsorted(lbounds, ids, side="right") - 1
+                    keep = alive[liv]
+                    if keep.any():
+                        gathered.append((ids[keep], co[keep]))
+                if not gathered:
+                    continue
+                scored_postings += sum(len(ids) for ids, _ in gathered)
+                cand = np.unique(np.concatenate([ids for ids, _ in gathered]))
+                acc = np.zeros(len(cand))
+                for ids, co in gathered:  # sorted-term order = oracle order
+                    acc[np.searchsorted(cand, ids)] += co
+                if len(heap) == k:
+                    m = acc >= theta  # strict-< prune; == θ ties still pushed
+                    cand, acc = cand[m], acc[m]
+                for d, s in zip(cand.tolist(), acc.tolist()):
+                    self._push(heap, k, s, d)
         # exposed for tests/diagnostics: postings actually decoded+scored
         # vs the query's total df — the measure of block-max pruning
         self.last_wand_scored = scored_postings

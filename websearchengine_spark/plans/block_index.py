@@ -77,8 +77,20 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("max_tfc", T.DoubleType(), False),
         T.StructField("min_tfc", T.DoubleType(), False),
         T.StructField("bucket", T.IntegerType(), False),
+        # 0 = leaf posting block (payload row); 1 = superblock (metadata-only
+        # summary of up to SUPERBLOCK_FACTOR consecutive leaf blocks: doc
+        # range, posting count, max/min tfc, empty payloads). Superblocks
+        # bound the serving engine's per-term metadata fetch: a query reads
+        # O(df / (block_size · SUPERBLOCK_FACTOR)) superblock rows first and
+        # loads leaf metadata + payloads lazily, only for superblocks that
+        # survive block-max pruning — a stopword term at 10^12 docs no
+        # longer materializes O(df/128) metadata rows before WAND can prune.
+        T.StructField("kind", T.IntegerType(), False),
     ]
 )
+
+# leaf blocks summarized per superblock row (~128 · 128 = 16384 postings)
+SUPERBLOCK_FACTOR = 128
 
 
 def term_bucket(term: str, n_buckets: int) -> int:
@@ -120,6 +132,15 @@ class BlockIndexPaths:
     @property
     def meta(self) -> str:
         return self._child("meta")
+
+    @property
+    def texts(self) -> str:
+        """Optional doc_id-clustered text sidecar (``store_texts=True``) —
+        the reference's page-table byte-offset seek into docs.txt
+        (main.cpp:498, create_index.cpp:152-156) as a parquet table whose
+        files/row-groups are contiguous doc_id ranges: a snippet fetch for
+        k doc_ids reads k row groups, never the corpus."""
+        return self._child("texts")
 
     @property
     def checkpoints(self) -> str:
@@ -187,6 +208,7 @@ def _make_stream_encoder(
             pa.field("max_tfc", pa.float64(), False),
             pa.field("min_tfc", pa.float64(), False),
             pa.field("bucket", pa.int32(), False),
+            pa.field("kind", pa.int32(), False),
         ]
     )
 
@@ -252,7 +274,9 @@ def _make_stream_encoder(
             len(terms),
         )
         block_tcodes = np.repeat(run_tcodes[g_run_starts], blocks_per_group)
-        return pa.RecordBatch.from_arrays(
+        block_max = np.maximum.reduceat(tfc, starts)
+        block_min = np.minimum.reduceat(tfc, starts)
+        leaf = pa.RecordBatch.from_arrays(
             [
                 pc.take(terms, pa.array(block_tcodes)).cast(pa.string()),
                 pa.array(ids[starts], type=pa.int64()),
@@ -261,12 +285,47 @@ def _make_stream_encoder(
                 vb_blocked_arrow(gaps, starts, ends),
                 vb_blocked_arrow(tfs.astype(np.uint64), starts, ends),
                 vb_blocked_arrow(dls.astype(np.uint64), starts, ends),
-                pa.array(np.maximum.reduceat(tfc, starts), type=pa.float64()),
-                pa.array(np.minimum.reduceat(tfc, starts), type=pa.float64()),
+                pa.array(block_max, type=pa.float64()),
+                pa.array(block_min, type=pa.float64()),
                 pa.array(dict_buckets[block_tcodes], type=pa.int32()),
+                pa.array(np.zeros(len(starts), dtype=np.int32), type=pa.int32()),
             ],
             schema=out_type,
         )
+        # superblock rows: one per SUPERBLOCK_FACTOR consecutive leaf blocks
+        # WITHIN a (term, salt) group (groups are disjoint docID ranges, so
+        # per-group superblocks still partition each term's docID axis) —
+        # block-level reduceat over the arrays already in hand, ~free
+        nblocks = len(starts)
+        bg_starts = np.concatenate(([0], np.cumsum(blocks_per_group)[:-1]))
+        relb = np.arange(nblocks, dtype=np.int64) - np.repeat(
+            bg_starts, blocks_per_group
+        )
+        sb_b = np.nonzero(relb % SUPERBLOCK_FACTOR == 0)[0]
+        sb_e = np.concatenate((sb_b[1:], [nblocks]))
+        n_sb = len(sb_b)
+        empty = pa.array([b""] * n_sb, type=pa.binary())
+        sb_tcodes = block_tcodes[sb_b]
+        supers = pa.RecordBatch.from_arrays(
+            [
+                pc.take(terms, pa.array(sb_tcodes)).cast(pa.string()),
+                pa.array(ids[starts[sb_b]], type=pa.int64()),
+                pa.array(ids[ends[sb_e - 1] - 1], type=pa.int64()),
+                pa.array(
+                    (ends[sb_e - 1] - starts[sb_b]).astype(np.int32),
+                    type=pa.int32(),
+                ),
+                empty,
+                empty,
+                empty,
+                pa.array(np.maximum.reduceat(block_max, sb_b), type=pa.float64()),
+                pa.array(np.minimum.reduceat(block_min, sb_b), type=pa.float64()),
+                pa.array(dict_buckets[sb_tcodes], type=pa.int32()),
+                pa.array(np.ones(n_sb, dtype=np.int32), type=pa.int32()),
+            ],
+            schema=out_type,
+        )
+        return leaf, supers
 
     def encode_stream(batches):
         carry: "pa.Table | None" = None
@@ -287,9 +346,9 @@ def _make_stream_encoder(
             cut = int(chg[-1]) + 1 if len(chg) else 0
             head, carry = t.slice(0, cut), t.slice(cut)  # zero-copy slices
             if head.num_rows:
-                yield encode_table(head)
+                yield from encode_table(head)
         if carry is not None and carry.num_rows:
-            yield encode_table(carry)
+            yield from encode_table(carry)
 
     return encode_stream
 
@@ -317,6 +376,7 @@ def build_block_index(
     build_id: str = "build0",
     resume: bool = True,
     num_partitions: int | None = None,
+    store_texts: bool = False,
     fail_buckets: Iterable[int] = (),  # test hook: simulate a mid-build crash
 ) -> BuildMetrics:
     spark = transcripts.sparkSession
@@ -360,11 +420,17 @@ def build_block_index(
         .repartitionByRange(n_parts, "conv_id", "turn_idx")
         .sortWithinPartitions("conv_id", "turn_idx")
     )
-    meta_cols = ["conv_id", "turn_idx", "role", "tool", "ts"]
+    # with store_texts the doc rows also carry the raw turn text (typed
+    # Arrow nulls on run rows): the texts sidecar then writes straight out
+    # of the SAME single pass — no second scan of the corpus
+    meta_cols = ["conv_id", "turn_idx", "role", "tool", "ts"] + (
+        ["text"] if store_texts else []
+    )
     flat_schema = (
         "doc_id long, term string, n long, tf_sum long, dl long, "
         "ids_vb binary, tfs_vb binary, dls_vb binary, run_pos long, "
         "conv_id string, turn_idx int, role string, tool string, ts timestamp"
+        + (", text string" if store_texts else "")
     )
 
     def _ids_and_tokenize(batches):
@@ -534,7 +600,14 @@ def build_block_index(
         spark.conf.set(batch_key, str(1 << 15))
         try:
             write_table(
-                blocks.repartition("bucket").sortWithinPartitions("term", "doc_lo"),
+                # kind first: all of a bucket's superblock rows cluster into
+                # their own trailing row groups (sorted by term), so the
+                # serving reader's kind==1 metadata fetch touches only those
+                # row groups and the kind==0 leaf region keeps the
+                # (term, doc_lo) clustering for range-pruned payload reads
+                blocks.repartition("bucket").sortWithinPartitions(
+                    "kind", "term", "doc_lo"
+                ),
                 paths.blocks,
                 mode="overwrite",
                 partition_by=("bucket",),
@@ -574,11 +647,13 @@ def build_block_index(
     def _write_meta():
         write_table(
             spark.createDataFrame(
-                # block_format 2 = block-head gap measured from doc_lo - 1
-                # (format 1 stored the absolute id); readers refuse format-1
-                # dumps rather than silently decoding shifted docIDs
+                # block_format 3 = format 2 (block-head gap measured from
+                # doc_lo - 1; format 1 stored the absolute id) + superblock
+                # rows (kind=1) in the blocks table; readers refuse older
+                # dumps rather than silently decoding shifted docIDs or
+                # missing the two-level metadata
                 [(build_id, n_docs, avg_dl, block_size, n_buckets,
-                  fingerprint, 2)],
+                  fingerprint, 3)],
                 "build_id string, n_docs long, avg_dl double, block_size int, "
                 "n_buckets int, fingerprint string, block_format int",
             ),
@@ -586,23 +661,47 @@ def build_block_index(
             mode="overwrite",
         )
 
-    pool = ThreadPoolExecutor(max_workers=3)
-    futures = (
-        [pool.submit(f) for f in (_write_lexicon, _write_doc_stats, _write_meta)]
-        if complete
-        else []
+    def _write_texts():
+        # flat's partitions are contiguous docID ranges with doc-ascending
+        # rows, so writing directly (no shuffle, no sort) yields files whose
+        # row groups are contiguous doc_id ranges — parquet min/max stats
+        # make a k-doc snippet fetch read k row groups (the page-table seek)
+        write_table(
+            flat.filter(F.col("term").isNull())
+            .withColumn("pid", F.shiftright("run_pos", 32).cast("int"))
+            .join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(p, o) for p, o in offsets.items()] or [(0, 0)],
+                        "pid int, _off long",
+                    )
+                ),
+                "pid",
+            )
+            .select((F.col("doc_id") + F.col("_off")).alias("doc_id"), "text"),
+            paths.texts,
+            mode="overwrite",
+            options={"parquet.block.size": 256 << 10},
+        )
+
+    writers = [_write_lexicon, _write_doc_stats, _write_meta] + (
+        [_write_texts] if store_texts else []
     )
+    pool = ThreadPoolExecutor(max_workers=len(writers))
+    futures = [pool.submit(f) for f in writers] if complete else []
 
     # ---- per-partition (bucket) checkpoints with lineage + metrics
     wall_s = time.time() - t0
     # explicit schema: an empty corpus writes a data-less directory that
     # schema inference cannot read
     read_schema = T.StructType(
-        BLOCK_SCHEMA.fields[:-1]
-        + [T.StructField("bucket", T.IntegerType(), True)]
+        [f for f in BLOCK_SCHEMA.fields if f.name != "bucket"]
+        + [T.StructField("bucket", T.IntegerType(), True)]  # partition col
     )
     built_blocks = read_table(spark, paths.blocks, schema=read_schema).filter(
-        F.col("bucket").isin(build_buckets) if build_buckets else F.lit(False)
+        (F.col("bucket").isin(build_buckets) if build_buckets else F.lit(False))
+        & (F.col("kind") == 0)  # leaf rows only: superblock summaries would
+        #                         double-count postings in the metrics
     )
     # the stats scan touches ONLY (bucket, n) — parquet column pruning keeps
     # the posting payloads (the bulk of the table) unread. At 100 TB a
