@@ -82,3 +82,95 @@ class AnnService:
         cos = np.round(cos, 6)
         sel = np.lexsort((ids, -cos))[: min(k, len(ids))]
         return [(i + 1, int(ids[j]), float(cos[j])) for i, j in enumerate(sel)]
+
+
+class IvfService:
+    """Serving-side IVF-flat ANN over the list_id-partitioned vector index
+    (plans/ann_index.build_ivf_index) — no Spark session: a query scores
+    the broadcast-small centroid table in-process, then reads EXACTLY its
+    ``nprobe`` list partitions (hive-pruned parquet) and exact-cosine-ranks
+    inside them.
+
+    Exactness contract: probe selection is (ROUND(cosine(q, centroid), 6)
+    DESC, list_id ASC) and in-list ranking is (ROUND(cosine, 6) DESC,
+    vec_id ASC) with sequential-fold dots — bit-identical to the DataFrame
+    plan ``pipeline/similarity.ivf_topk`` and its DuckDB oracle for the
+    same query vector. Recall < 1 vs brute force by design; nprobe ==
+    n_lists probes everything and equals exact top-k.
+
+    Scale: per-query IO is nprobe partitions (~nprobe·N/n_lists rows); the
+    list LRU cache plays the posting-cache role for hot lists."""
+
+    def __init__(self, root: str, list_cache: int = 64):
+        meta = pq.read_table(os.path.join(root, "meta")).to_pylist()[0]
+        self.dim = int(meta["dim"])
+        self.n_lists = int(meta["n_lists"])
+        self.n_vectors = int(meta["n_vectors"])
+        cents = pq.read_table(os.path.join(root, "centroids")).to_pylist()
+        cents.sort(key=lambda r: r["list_id"])
+        self._cent_ids = np.array([r["list_id"] for r in cents], dtype=np.int64)
+        self._cents = np.array([r["v"] for r in cents], dtype=np.float64)
+        self._ds = ds.dataset(os.path.join(root, "vectors"), partitioning="hive")
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._cache_cap = list_cache
+        self.lists_read = 0  # instrumentation: partitions actually fetched
+
+    def probe_lists(self, qv: np.ndarray, nprobe: int) -> list[int]:
+        """The nprobe nearest lists by (ROUND(cos,6) DESC, list_id ASC)."""
+        qv = np.asarray(qv, dtype=np.float64)
+        nq = float(np.cumsum(qv * qv)[-1]) if len(qv) else 0.0
+        dots = _seq_dot(self._cents, np.broadcast_to(qv, self._cents.shape))
+        ncs = _seq_dot(self._cents, self._cents)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where((ncs > 0) & (nq > 0), dots / np.sqrt(ncs * nq), 0.0)
+        cos = np.round(cos, 6)
+        order = np.lexsort((self._cent_ids, -cos))
+        return [int(self._cent_ids[i]) for i in order[:nprobe]]
+
+    def _list(self, list_id: int):
+        if list_id in self._cache:
+            return self._cache[list_id]
+        tbl = self._ds.to_table(filter=ds.field("list_id") == list_id)
+        self.lists_read += 1
+        ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+        mat = (
+            np.array(tbl.column("v").to_pylist(), dtype=np.float64)
+            if tbl.num_rows
+            else np.zeros((0, self.dim))
+        )
+        norms = _seq_dot(mat, mat) if len(mat) else np.zeros(0)
+        if len(self._cache) >= self._cache_cap:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[list_id] = (ids, mat, norms)
+        return self._cache[list_id]
+
+    def search_vector(
+        self,
+        qv: np.ndarray,
+        k: int = 10,
+        nprobe: int = 4,
+        exclude_id: int | None = None,
+    ) -> list[tuple[int, int, float]]:
+        """[(rank, vec_id, cosine)] over the query's nprobe lists."""
+        qv = np.asarray(qv, dtype=np.float64)
+        parts = [self._list(li) for li in self.probe_lists(qv, nprobe)]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return []
+        ids = np.concatenate([p[0] for p in parts])
+        mat = np.concatenate([p[1] for p in parts])
+        norms = np.concatenate([p[2] for p in parts])
+        if exclude_id is not None:
+            keep = ids != exclude_id
+            ids, mat, norms = ids[keep], mat[keep], norms[keep]
+        if len(ids) == 0:
+            return []
+        nq = float(np.cumsum(qv * qv)[-1])
+        dots = _seq_dot(mat, np.broadcast_to(qv, mat.shape))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where((norms > 0) & (nq > 0), dots / np.sqrt(norms * nq), 0.0)
+        cos = np.round(cos, 6)
+        sel = np.lexsort((ids, -cos))[: min(k, len(ids))]
+        return [
+            (i + 1, int(ids[j]), float(cos[j])) for i, j in enumerate(sel)
+        ]

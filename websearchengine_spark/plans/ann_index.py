@@ -64,3 +64,50 @@ def build_ann_index(
         "n_vectors long, dim int, n_planes int, fixed_point long, n_buckets_used int",
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "meta"))
     return meta
+
+
+def build_ivf_index(
+    embeddings: DataFrame, out_dir: str, n_lists: int = 16
+) -> dict:
+    """Materialized IVF-flat index (the FAISS layout, Spark-built): the
+    coarse-quantizer assignment pass of pipeline/similarity.ivf_assignments
+    (ONE broadcast of the centroid table + a map-side-combinable max_by —
+    the shuffle carries exactly N rows) written as ``out_dir/vectors/
+    list_id=*/`` plus a ``centroids`` sidecar and ``meta``. A query then
+    reads EXACTLY its nprobe partitions (operators/ann_service.IvfService),
+    no Spark. Same seam as the LSH pair (build_ann_index/AnnService);
+    trained k-means centroids drop in through _centroids without touching
+    this layout."""
+    from websearchengine_spark.pipeline.similarity import (
+        _as_double,
+        _centroids,
+        ivf_assignments,
+    )
+
+    spark = embeddings.sparkSession
+    e = _as_double(embeddings)
+    asg = ivf_assignments(embeddings, n_lists=n_lists)
+    (
+        e.join(asg, "vec_id")
+        .select("list_id", "vec_id", "v")
+        .repartition("list_id")
+        .sortWithinPartitions("vec_id")
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    _centroids(e, n_lists).select("list_id", F.col("cv").alias("v")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+    row = embeddings.select(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("dim")
+    ).collect()[0]
+    meta = {
+        "n_vectors": int(row["n"]),
+        "dim": int(row["dim"]),
+        "n_lists": int(n_lists),
+    }
+    spark.createDataFrame(
+        [tuple(meta.values())], "n_vectors long, dim int, n_lists int"
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "meta"))
+    return meta

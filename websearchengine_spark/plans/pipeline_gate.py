@@ -679,6 +679,39 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ivf_index_topk(spark, sf_dir):
+    """Materialized IVF index + pyarrow service (plans/ann_index.
+    build_ivf_index + operators/ann_service.IvfService): the SAME probe and
+    ranking semantics as q_ivf_topk, but served from the list_id-partitioned
+    layout with no Spark on the query path — a query reads exactly nprobe
+    partitions. Same oracle as sim_ivf_topk ⇒ the driver proves the
+    materialized path bit-identical to the DataFrame plan and DuckDB."""
+    import tempfile
+
+    import numpy as np
+
+    from websearchengine_spark.operators.ann_service import IvfService
+    from websearchengine_spark.plans.ann_index import build_ivf_index
+
+    emb = _emb(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="wse_ivfgate_")
+    build_ivf_index(emb, out, n_lists=16)
+    svc = IvfService(out)
+    qvecs = {
+        int(r["vec_id"]): np.array([float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 5").collect()
+    }
+    rows = []
+    for qid in sorted(qvecs):
+        for rank, vid, cos in svc.search_vector(
+            qvecs[qid], k=10, nprobe=4, exclude_id=qid
+        ):
+            rows.append((qid, rank, vid, cos))
+    return spark.createDataFrame(
+        rows, "query_id long, rank long, vec_id long, cosine double"
+    )
+
+
 SQL_IVF_TOPK = f"""
 WITH {SQL_EMB},
 cents AS (SELECT vec_id AS list_id, v AS cv FROM emb WHERE vec_id < 16),
@@ -897,6 +930,7 @@ def pipeline_entries() -> dict[str, tuple]:
         "sim_lsh_signatures": (q_lsh_signatures, SQL_LSH_SIGNATURES),
         "sim_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
         "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+        "sim_ivf_index_topk": (q_ivf_index_topk, SQL_IVF_TOPK),
         "pl_curation_pipeline": (q_curation, _sql_curation()),
     }
 
