@@ -95,6 +95,23 @@ def test_batch_mrr_denominator_matches_driver_loop_on_misaligned_qrels(
     assert math.isclose(row["mrr"], round(expected, 6), abs_tol=1.5e-6)
 
 
+def test_batch_mrr_production_twin(spark, index_dir, queries_df):
+    """VERDICT r3 #5: the production (exact=False) mean is plain F.sum with
+    map-side partial aggregation — no collect_list in the plan — and equals
+    the ordered-fold exact twin to 6 decimals."""
+    qdf, _rows = queries_df
+    top20 = batch_search(qdf, index_dir, conjunctive=True, k=20,
+                         num_partitions=4)
+    qrels_df = top20.groupBy("query_id").agg(F.min("doc_id").alias("rel_doc"))
+
+    prod_df = batch_mrr(spark, qdf, qrels_df, index_dir, n=10, exact=False)
+    assert "collect_list" not in prod_df._jdf.queryExecution().toString()
+    prod = prod_df.collect()[0]
+    exact = batch_mrr(spark, qdf, qrels_df, index_dir, n=10).collect()[0]
+    assert prod["n_queries"] == exact["n_queries"]
+    assert math.isclose(prod["mrr"], exact["mrr"], abs_tol=1.5e-6)
+
+
 def test_partition_by_term_is_output_invariant(spark, index_dir, queries_df):
     qdf, _rows = queries_df
     a = sorted(

@@ -83,6 +83,32 @@ def test_production_matches_exact_twin_to_2dp(spark):
                     assert a == b, (name, key, col)
 
 
+@pytest.mark.parametrize("conjunctive", [True, False], ids=["conj", "disj"])
+def test_bm25_exhaustive_production_twin(spark, conjunctive):
+    """The last ordered-fold holdout (VERDICT r3 #5): the exhaustive BM25
+    per-doc score fold gets a plain-F.sum production twin — no collect_list
+    in the plan, values equal to the exact fold to 2 decimals."""
+    from websearchengine_spark.plans.gate_queries import _spark_bm25_scores
+
+    prod_df = _spark_bm25_scores(spark, SF_DIR, conjunctive, exact=False)
+    assert "collect_list" not in explain_str(prod_df)
+    assert "collect_list" in explain_str(
+        _spark_bm25_scores(spark, SF_DIR, conjunctive, exact=True)
+    )
+    prod = {
+        (r["query_id"], r["doc_id"]): r
+        for r in prod_df.collect()
+    }
+    twin = {
+        (r["query_id"], r["doc_id"]): r
+        for r in _spark_bm25_scores(spark, SF_DIR, conjunctive, exact=True).collect()
+    }
+    assert prod.keys() == twin.keys() and len(prod) > 0
+    for key in prod:
+        assert round(prod[key]["score"], 2) == round(twin[key]["score"], 2), key
+        assert prod[key]["nhit"] == twin[key]["nhit"], key
+
+
 def test_q5_window_is_inside_data_range(spark):
     """The round-2 vacuous-gate regression test: the default Q5 window must
     match at least one order, so the six-way join chain is exercised."""

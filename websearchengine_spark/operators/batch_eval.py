@@ -99,6 +99,7 @@ def batch_mrr(
     index_root: str,
     n: int = 10,
     num_partitions: int | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """Distributed MRR@n (evaluation.cpp:484-490, 715-720): reciprocal rank
     of each query's relevant doc within the top-n conjunctive results, mean
@@ -110,7 +111,13 @@ def batch_mrr(
     reference loops over queries and skips ids without a qrel
     (evaluation.cpp:715-720), and reader.mrr_at does the same, so a qrels
     row whose query_id is absent from ``queries`` contributes nothing
-    instead of deflating the mean."""
+    instead of deflating the mean.
+
+    ``exact=True`` (gate/oracle default) folds rr values in query_id order
+    for a bit-stable mean; ``exact=False`` is the production twin — plain
+    ``F.sum/F.count`` with map-side partial aggregation, the plan for a
+    367k-query MS-MARCO-scale eval, equal to the fold up to float
+    associativity ulps (the plans/olap.py split applied to this holdout)."""
     results = batch_search(
         queries, index_root, conjunctive=True, k=n, num_partitions=num_partitions
     )
@@ -123,15 +130,17 @@ def batch_mrr(
     per_query = evaluated.join(rr, "query_id", "left").select(
         "query_id", F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr")
     )
+    mean = (
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("query_id", "rr"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["rr"],
+        )
+        / F.count(F.lit(1))
+        if exact
+        else F.sum("rr") / F.count(F.lit(1))
+    )
     return per_query.agg(
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("query_id", "rr"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["rr"],
-            )
-            / F.count(F.lit(1)),
-            6,
-        ).alias("mrr"),
+        F.round(mean, 6).alias("mrr"),
         F.count(F.lit(1)).alias("n_queries"),
     )

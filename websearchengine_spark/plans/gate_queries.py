@@ -103,9 +103,19 @@ def _spark_doclen(docs: DataFrame) -> DataFrame:
     )
 
 
-def _spark_bm25_scores(spark: SparkSession, sf_dir: str, conjunctive: bool) -> DataFrame:
+def _spark_bm25_scores(
+    spark: SparkSession, sf_dir: str, conjunctive: bool, exact: bool = True
+) -> DataFrame:
     """Shared Spark plan for the gate BM25 top-k — the exhaustive DataFrame
-    path over the driver's documents table (doc identity = documents.doc_id)."""
+    path over the driver's documents table (doc identity = documents.doc_id).
+
+    ``exact=True`` (the gate default) folds per-term contributions in
+    sorted-term order so the value hash matches the DuckDB oracle bit for
+    bit; ``exact=False`` is the production twin — plain ``F.sum`` with
+    map-side partial aggregation, the plan you run at 100 TB, identical to
+    the fold up to float associativity ulps (the plans/olap.py split
+    applied to this last holdout; tests/test_olap_split.py asserts no
+    collect_list in the production plan and 2-dp value equality)."""
     docs = _docs(spark, sf_dir)
     postings = _spark_postings(docs).withColumn("tf", F.col("tf").cast("double"))
     dl = _spark_doclen(docs).withColumn("dl", F.col("dl").cast("double"))
@@ -138,13 +148,17 @@ def _spark_bm25_scores(spark: SparkSession, sf_dir: str, conjunctive: bool) -> D
     # order is nondeterministic at the ulp level and can flip ROUND(x,6)
     # at a boundary between runs/engines. The oracle folds the same way
     # (list(contrib ORDER BY term) → list_aggregate 'sum').
-    per_doc = hits.groupBy("query_id", "doc_id").agg(
+    score = (
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("term", "contrib"))),
             F.lit(0.0),
             lambda acc, x: acc + x["contrib"],
-        ).alias("score"),
-        F.count(F.lit(1)).alias("nhit"),
+        )
+        if exact
+        else F.sum("contrib")
+    )
+    per_doc = hits.groupBy("query_id", "doc_id").agg(
+        score.alias("score"), F.count(F.lit(1)).alias("nhit")
     )
     if conjunctive:
         per_doc = per_doc.join(F.broadcast(n_found), "query_id").filter(
