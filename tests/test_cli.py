@@ -80,3 +80,20 @@ def test_evaluate_job_local_matches_reader(cli_env):
     # planted qrels → most queries find their doc (same bar as the
     # exhaustive-path MRR test)
     assert out["mrr"] > 0.3
+
+
+def test_evaluate_job_local_pool_is_bit_identical(cli_env):
+    """--local --procs N (the reference's 20-thread evaluation pool as a
+    process pool) must produce the EXACT sequential MRR: per-chunk rr lists
+    are re-folded in original query order, so the float sum is the same."""
+    outs = []
+    for procs in ("1", "3"):
+        r = _run([
+            "scripts/evaluate_job.py", "--local", "--procs", procs,
+            "--index", cli_env["idx"],
+            "--queries", cli_env["queries"], "--qrels", cli_env["qrels"],
+        ])
+        assert r.returncode == 0, r.stderr
+        outs.append(json.loads(r.stdout.strip().splitlines()[-1]))
+    assert outs[0]["mrr"] == outs[1]["mrr"]
+    assert outs[0]["n_queries"] == outs[1]["n_queries"]

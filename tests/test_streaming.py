@@ -100,6 +100,110 @@ def test_turn_rate_watermarked_windows(spark, tmp_path):
     assert (10, 2) not in got
 
 
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_stream_user_sessions_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer (streaming/sessions.py): replayed
+    event files → the SAME sessions as the batch operator
+    pipeline/events.user_sessions, including a session that EXTENDS across
+    a micro-batch boundary (state carry), one closed by an in-batch gap,
+    and one closed by the event-time timeout (watermark)."""
+    import time as _time
+
+    from websearchengine_spark.pipeline.events import user_sessions
+    from websearchengine_spark.streaming.sessions import stream_user_sessions
+
+    src = str(tmp_path / "esrc")
+    os.makedirs(src)
+    base = dt.datetime(2026, 1, 1, 9, 0, 0)
+
+    def ev(eid, minutes, user, day=0):
+        return (
+            eid,
+            base + dt.timedelta(days=day, minutes=minutes),
+            user,
+            "click",
+            1.0,
+            None,
+        )
+
+    waves = [
+        # b0: user 1 opens a session (3 events), user 2 opens one
+        [ev(0, 0, 1), ev(1, 5, 1), ev(2, 10, 1), ev(3, 0, 2)],
+        # b1: user 1's 9:20 EXTENDS session 0 across the batch boundary,
+        # 10:00 gap-closes it (gap 30 min) and opens session 1; user 3
+        # appears; the watermark after b1 passes user 2's timeout
+        [ev(4, 20, 1), ev(5, 60, 1), ev(6, 60, 3)],
+        # b2: far-future sentinel — advances the watermark a day, so b3
+        # (sentinel 2) fires the timeouts for user 1's session 1 + user 3
+        [ev(7, 0, 98, day=1)],
+        [ev(8, 0, 99, day=2)],
+    ]
+    import glob
+    import shutil
+
+    for i, rows in enumerate(waves):
+        tmp = str(tmp_path / f"wave_tmp_{i}")
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        # flat FILE per wave (the stream source ignores nested dirs), with
+        # forced modification times — the file source orders batches by them
+        dst = os.path.join(src, f"wave_{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        t = _time.time() + i * 10
+        os.utime(dst, (t, t))
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_user_sessions(stream, gap_minutes=30, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["closed_by"]
+        )
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+
+    # batch twin over the real users' events (sentinels excluded)
+    events = spark.createDataFrame(
+        [e for w in waves[:2] for e in w], EVENT_SCHEMA
+    )
+    exp = {
+        (r["user_id"], r["session_idx"]): (
+            r["session_start"], r["session_end"], r["n_events"]
+        )
+        for r in user_sessions(events, gap_minutes=30).collect()
+    }
+    # every batch session is emitted exactly once; values identical
+    # (sentinel 98's session may also flush — availableNow runs a final
+    # watermark-advance batch — but 99's never can: nothing outlives it)
+    assert set(exp) <= set(got)
+    assert set(got) - set(exp) <= {(98, 0)}
+    for key in exp:
+        start, end, n, _by = got[key]
+        assert (start, end, n) == exp[key], key
+    # the boundary-crossing session really carried state (4 events: 3 from
+    # b0 + 1 from b1) and closed by GAP; the idle users closed by TIMEOUT
+    assert got[(1, 0)][2] == 4 and got[(1, 0)][3] == "gap"
+    assert got[(2, 0)][3] == "timeout"
+    assert got[(3, 0)][3] == "timeout"
+    assert (99, 0) not in got
+
+
 def test_batch_replay_is_idempotent(spark, tmp_path):
     """A micro-batch that crashed after its meta write but before the
     checkpoint commit is REPLAYED by Structured Streaming with the same
