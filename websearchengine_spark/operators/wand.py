@@ -38,12 +38,15 @@ from __future__ import annotations
 
 import heapq
 import math
+import os
 import time
 from bisect import bisect_left
 from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.dataset as ds
 import pyarrow.parquet as pq
 
@@ -54,6 +57,136 @@ from websearchengine_spark.plans.block_index import BlockIndexPaths, term_bucket
 K1 = 0.9
 B = 0.4
 INF = 1 << 62
+
+
+class _BucketRGs:
+    """Row-group-pruned reads over one bucket directory of a hive-
+    partitioned index table.
+
+    pyarrow's dataset Scanner does NOT prune parquet row groups from the
+    filter expression on these reads (measured at 480k docs: every
+    filtered ``to_table`` decoded the bucket's whole payload region —
+    ~10 ms per serving fetch, 80% of warm conjunctive query time). The
+    bucket files are written sorted by (kind, term, doc_lo), so per-row-
+    group min/max statistics identify exactly the groups a (kind, term,
+    doc-range) request can touch. This class reads each file's FOOTER once
+    (O(row groups) metadata, no data pages — scale-safe at any corpus
+    size) and serves requests via ``read_row_groups`` on the selected
+    groups; callers apply the exact residual row filter afterwards, so
+    selection only has to be a superset (missing statistics degrade to
+    "read everything", never to wrong answers). This is the reference's
+    page-table byte seek (main.cpp:498) re-expressed for parquet.
+
+    ``rg_cache``: optional LRU of decoded row-group tables keyed
+    (file, group, columns) — the analogue of the reference's mmap + OS
+    page cache (hot row groups stay decoded, cold ones are re-read);
+    bounded, so reader memory stays O(cache) at any corpus size."""
+
+    __slots__ = ("parts", "stats", "rg_cache", "_dir")
+
+    def __init__(self, bucket_dir: str, rg_cache: "_LRU | None" = None):
+        self.rg_cache = rg_cache
+        self._dir = bucket_dir
+        files = (
+            sorted(
+                os.path.join(bucket_dir, f)
+                for f in os.listdir(bucket_dir)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(bucket_dir)
+            else []
+        )
+        self.parts = [pq.ParquetFile(p) for p in files]
+        # per (file, rg): {col: (min, max) or None}
+        self.stats: list[list[dict]] = []
+        for pf in self.parts:
+            md = pf.metadata
+            rgs = []
+            for ri in range(md.num_row_groups):
+                rg = md.row_group(ri)
+                st: dict = {}
+                for ci in range(rg.num_columns):
+                    col = rg.column(ci)
+                    name = col.path_in_schema
+                    if name in ("kind", "term", "doc_lo"):
+                        s = col.statistics
+                        st[name] = (
+                            (s.min, s.max)
+                            if s is not None and s.has_min_max
+                            else None
+                        )
+                rgs.append(st)
+            self.stats.append(rgs)
+
+    @staticmethod
+    def _overlaps(st, lo, hi) -> bool:
+        if st is None:
+            return True  # no statistics → conservative
+        return not (st[1] < lo or st[0] > hi)
+
+    def read(
+        self,
+        columns: list[str],
+        kind: int | None = None,
+        terms: list[str] | None = None,
+        ranges_by_term: dict[str, list[tuple[int, int]]] | None = None,
+    ) -> pa.Table:
+        """Concatenated rows of every row group whose statistics can
+        contain the request. ``ranges_by_term`` further prunes by doc_lo
+        (only meaningful with per-term ranges; conservative across terms
+        sharing a group)."""
+        out = []
+        want_cols = columns
+        for pf, rgs in zip(self.parts, self.stats):
+            sel = []
+            for ri, st in enumerate(rgs):
+                if kind is not None and not self._overlaps(
+                    st.get("kind"), kind, kind
+                ):
+                    continue
+                if terms is not None:
+                    tst = st.get("term")
+                    if tst is not None and not any(
+                        tst[0] <= t <= tst[1] for t in terms
+                    ):
+                        continue
+                    if ranges_by_term is not None and tst is not None:
+                        lst = st.get("doc_lo")
+                        # doc_lo stats prune only when they are a single
+                        # term's range (group entirely inside one term)
+                        if (
+                            lst is not None
+                            and tst[0] == tst[1]
+                            and tst[0] in ranges_by_term
+                            and not any(
+                                self._overlaps(lst, lo, hi)
+                                for lo, hi in ranges_by_term[tst[0]]
+                            )
+                        ):
+                            continue
+                sel.append(ri)
+            if not sel:
+                continue
+            if self.rg_cache is None:
+                out.append(pf.read_row_groups(sel, columns=want_cols))
+                continue
+            ckey_cols = tuple(want_cols)
+            for ri in sel:
+                key = ("rg", self._dir, id(pf), ri, ckey_cols)
+                tbl = self.rg_cache.get_(key)
+                if tbl is None:
+                    tbl = pf.read_row_groups([ri], columns=want_cols)
+                    self.rg_cache.put(key, tbl)
+                out.append(tbl)
+        if not out:
+            schema = (
+                self.parts[0].schema_arrow if self.parts else pa.schema([])
+            )
+            fields = [schema.field(c) for c in want_cols] if self.parts else []
+            return pa.table(
+                {f.name: pa.array([], type=f.type) for f in fields}
+            )
+        return pa.concat_tables(out)
 
 
 class _LRU(OrderedDict):
@@ -229,7 +362,8 @@ class BlockIndexReader:
     """
 
     def __init__(self, root: str, result_cache: int = 1000, posting_cache: int = 4096,
-                 taat_threshold: int = 5_000_000, dense_docs_max: int = 1 << 26):
+                 taat_threshold: int = 5_000_000, dense_docs_max: int = 1 << 26,
+                 rg_cache: int = 128):
         self.paths = BlockIndexPaths(root)
         meta = pq.read_table(self.paths.meta).to_pylist()[0]
         fmt = int(meta.get("block_format", 1))
@@ -255,6 +389,13 @@ class BlockIndexReader:
             self._lex_ds = None
         self._result_cache = _LRU(result_cache)
         self._posting_cache = _LRU(posting_cache)
+        # per-bucket row-group indexes (footer statistics only), built
+        # lazily on first touch — see _BucketRGs. The shared rg LRU holds
+        # decoded row-group tables (~1 MB each at the build's block.size):
+        # the reference's mmap + page cache, bounded
+        self._rg_cache = _LRU(rg_cache) if rg_cache else None
+        self._block_rgs: dict[int, _BucketRGs] = {}
+        self._lex_rgs: dict[int, _BucketRGs] = {}
         # cumulative metadata/payload fetch instrumentation (bench snapshots
         # deltas around a cold query to prove the two-level fetch is bounded)
         self.sb_rows_fetched = 0
@@ -281,15 +422,62 @@ class BlockIndexReader:
             self._blocks_ds.head(1)
 
     # ---- index access -----------------------------------------------------
+    def _pruned_read(
+        self,
+        rgs_cache: dict,
+        table_root: str,
+        terms: list[str],
+        columns: list[str],
+        kind: int | None = None,
+        ranges_by_term: dict | None = None,
+    ):
+        """Row-group-pruned read across the buckets of ``terms``, with the
+        exact residual row filter (kind equality + term membership) applied
+        — the drop-in replacement for the filtered dataset scans (see
+        _BucketRGs for why the Scanner path is not usable here)."""
+        by_bucket: dict[int, list[str]] = {}
+        for t in terms:
+            by_bucket.setdefault(term_bucket(t, self.n_buckets), []).append(t)
+        parts = []
+        for b in sorted(by_bucket):
+            rgs = rgs_cache.get(b)
+            if rgs is None:
+                rgs = rgs_cache[b] = _BucketRGs(
+                    os.path.join(table_root, f"bucket={b}"),
+                    rg_cache=self._rg_cache,
+                )
+            tbl = rgs.read(
+                columns,
+                kind=kind,
+                terms=sorted(by_bucket[b]),
+                ranges_by_term=ranges_by_term,
+            )
+            if tbl.num_rows:
+                parts.append(tbl)
+        if not parts:
+            return None
+        tbl = pa.concat_tables(parts)
+        mask = pc.is_in(
+            tbl.column("term"), value_set=pa.array(terms, type=pa.string())
+        )
+        if kind is not None:
+            mask = pc.and_(mask, pc.equal(tbl.column("kind"), kind))
+        tbl = tbl.filter(mask)
+        return tbl if tbl.num_rows else None
+
     def lexicon_rows(self, terms: list[str]) -> dict[str, int]:
         if self._lex_ds is None:
             return {}
         missing = [t for t in terms if ("lex", t) not in self._posting_cache]
         if missing:
-            buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
-            flt = (ds.field("bucket").isin(buckets)) & (ds.field("term").isin(missing))
-            tbl = self._lex_ds.to_table(filter=flt, columns=["term", "df"])
-            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+            tbl = self._pruned_read(
+                self._lex_rgs, self.paths.lexicon, missing, ["term", "df"]
+            )
+            found = (
+                dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+                if tbl is not None
+                else {}
+            )
             for t in missing:
                 self._posting_cache.put(("lex", t), found.get(t))
         return {
@@ -305,16 +493,19 @@ class BlockIndexReader:
         loads eagerly). LRU-cached."""
         missing = [t for t in terms if ("sbm", t) not in self._posting_cache]
         if missing:
-            buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
-            flt = (
-                (ds.field("bucket").isin(buckets))
-                & (ds.field("kind") == 1)
-                & (ds.field("term").isin(missing))
+            tbl = self._pruned_read(
+                self._block_rgs, self.paths.blocks, missing,
+                ["kind", "term", "doc_lo", "doc_hi", "n", "max_tfc", "min_tfc"],
+                kind=1,
             )
-            tbl = self._blocks_ds.to_table(
-                filter=flt,
-                columns=["term", "doc_lo", "doc_hi", "n", "max_tfc", "min_tfc"],
-            )
+            if tbl is None:
+                for t in missing:
+                    self._posting_cache.put(("sbm", t), None)
+                return {
+                    t: v
+                    for t in terms
+                    if (v := self._posting_cache.get_(("sbm", t))) is not None
+                }
             self.sb_rows_fetched += tbl.num_rows
             tcol = tbl.column("term").to_pylist()
             lo = tbl.column("doc_lo").to_numpy()
@@ -357,24 +548,34 @@ class BlockIndexReader:
         by_term: dict[str, list[tuple[int, int, int]]] = {}
         for t, si, lo_, hi_ in todo:
             by_term.setdefault(t, []).append((si, lo_, hi_))
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in by_term})
-        expr = None
-        for t, ranges in by_term.items():
-            rng = None
-            for _si, lo_, hi_ in ranges:
-                e = (ds.field("doc_lo") >= lo_) & (ds.field("doc_lo") <= hi_)
-                rng = e if rng is None else (rng | e)
-            e = (ds.field("term") == t) & rng
-            expr = e if expr is None else (expr | e)
-        flt = (ds.field("bucket").isin(buckets)) & (ds.field("kind") == 0) & expr
-        tbl = self._blocks_ds.to_table(
-            filter=flt,
-            columns=[
-                "term", "doc_lo", "doc_hi", "n",
+        # row groups are pruned by (kind, term, wanted doc ranges); rows of
+        # a wanted term OUTSIDE its wanted ranges can ride along from shared
+        # groups — the per-superblock searchsorted slicing below drops them
+        tbl = self._pruned_read(
+            self._block_rgs, self.paths.blocks, sorted(by_term),
+            [
+                "kind", "term", "doc_lo", "doc_hi", "n",
                 "max_tfc", "min_tfc", "ids_vb", "tfs_vb", "dls_vb",
             ],
+            kind=0,
+            ranges_by_term={
+                t: [(lo_, hi_) for _si, lo_, hi_ in ranges]
+                for t, ranges in by_term.items()
+            },
         )
-        self.leaf_rows_fetched += tbl.num_rows
+        if tbl is None:
+            for t, ranges in by_term.items():
+                for si, _lo, _hi in ranges:
+                    self._posting_cache.put(
+                        ("leaf", t, si),
+                        _Leaf(
+                            np.array([], dtype=np.int64),
+                            np.array([], dtype=np.int64),
+                            np.array([], dtype=np.int64),
+                            np.array([]), np.array([]), [], [], [],
+                        ),
+                    )
+            return
         tcol = tbl.column("term").to_pylist()
         lo = tbl.column("doc_lo").to_numpy()
         hi = tbl.column("doc_hi").to_numpy()
@@ -399,6 +600,11 @@ class BlockIndexReader:
                 a = int(np.searchsorted(slos, sb_lo, side="left"))
                 b = int(np.searchsorted(slos, sb_hi, side="right"))
                 sel = o[a:b]
+                # the counter measures leaf rows MATERIALIZED into slots —
+                # rows of a wanted term that ride along from shared row
+                # groups are sliced away here and not counted (the row-
+                # group selection above is what bounds the IO itself)
+                self.leaf_rows_fetched += len(sel)
                 self._posting_cache.put(
                     ("leaf", t, si),
                     _Leaf(
@@ -430,16 +636,19 @@ class BlockIndexReader:
         segmented vb_decode per column."""
         missing = [t for t in terms if ("arr", t) not in self._posting_cache]
         if missing:
-            buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
-            flt = (
-                (ds.field("bucket").isin(buckets))
-                & (ds.field("kind") == 0)
-                & (ds.field("term").isin(missing))
+            tbl = self._pruned_read(
+                self._block_rgs, self.paths.blocks, missing,
+                ["kind", "term", "doc_lo", "n", "ids_vb", "tfs_vb", "dls_vb"],
+                kind=0,
             )
-            tbl = self._blocks_ds.to_table(
-                filter=flt,
-                columns=["term", "doc_lo", "n", "ids_vb", "tfs_vb", "dls_vb"],
-            )
+            if tbl is None:
+                for t in missing:
+                    self._posting_cache.put(("arr", t), None)
+                return {
+                    t: v
+                    for t in terms
+                    if (v := self._posting_cache.get_(("arr", t))) is not None
+                }
             self.leaf_rows_fetched += tbl.num_rows
             tcol = tbl.column("term").to_pylist()
             lo = tbl.column("doc_lo").to_numpy()
