@@ -68,6 +68,35 @@ def test_wand_rank_identity_vs_oracle(reader, oracle, fixture, conjunctive, k):
             assert math.isclose(es, asc, rel_tol=1e-9, abs_tol=1e-12), (qid, q)
 
 
+@pytest.mark.parametrize("conjunctive", [True, False], ids=["conj", "disj"])
+def test_eviction_pressure_never_changes_results(
+    index_dir, oracle, fixture, conjunctive
+):
+    """Regression: the posting LRU must be a pure optimization. The fetch
+    helpers used to read values back THROUGH the cache after putting them;
+    a put can evict another query term's cold entry (a membership probe
+    does not refresh recency), and the read-back then silently treated
+    that term as OOV — dropping it from the query and corrupting scores
+    in a history-dependent way (reproduced at 367k-query eviction
+    pressure: 20/367013 rankings differed between two warm readers).
+    Pathologically tiny caches force an eviction on nearly every fetch;
+    results must still match the oracle on every query, twice (the second
+    pass runs against a fully churned cache)."""
+    r = BlockIndexReader(
+        index_dir, result_cache=0, posting_cache=4, rg_cache=2
+    )
+    queries = list(fixture.queries["query"])
+    for _pass in range(2):
+        for q in queries:
+            expected = oracle.search(q, conjunctive=conjunctive, k=10)
+            actual = r.search(q, conjunctive=conjunctive, k=10)
+            assert [(rk, d) for rk, d, _ in actual] == [
+                (rk, d) for rk, d, _ in expected
+            ], q
+            for (_, _, es), (_, _, asc) in zip(expected, actual):
+                assert math.isclose(es, asc, rel_tol=1e-9, abs_tol=1e-12), q
+
+
 def test_result_cache_hit(reader, oracle):
     r1 = reader.search("the data", conjunctive=False, k=10)
     r2 = reader.search("the data", conjunctive=False, k=10)

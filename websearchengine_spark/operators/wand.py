@@ -468,7 +468,18 @@ class BlockIndexReader:
     def lexicon_rows(self, terms: list[str]) -> dict[str, int]:
         if self._lex_ds is None:
             return {}
-        missing = [t for t in terms if ("lex", t) not in self._posting_cache]
+        # Collect values as DIRECT references; never read back through the
+        # cache after a put. A put may evict another query term's entry (a
+        # cache-hit probe does not refresh LRU recency), and a read-back
+        # would then silently treat that term as OOV and drop it from the
+        # query — observed as history-dependent wrong rankings at 367k-query
+        # eviction pressure. With direct references the LRU is a pure
+        # optimization: eviction can only cost a refetch, never an answer.
+        vals: dict[str, int | None] = {}
+        for t in terms:
+            if ("lex", t) in self._posting_cache:
+                vals[t] = self._posting_cache.get_(("lex", t))
+        missing = [t for t in terms if t not in vals]
         if missing:
             tbl = self._pruned_read(
                 self._lex_rgs, self.paths.lexicon, missing, ["term", "df"]
@@ -479,19 +490,23 @@ class BlockIndexReader:
                 else {}
             )
             for t in missing:
-                self._posting_cache.put(("lex", t), found.get(t))
-        return {
-            t: v
-            for t in terms
-            if (v := self._posting_cache.get_(("lex", t))) is not None
-        }
+                v = found.get(t)
+                self._posting_cache.put(("lex", t), v)
+                vals[t] = v
+        return {t: v for t in terms if (v := vals.get(t)) is not None}
 
     def _fetch_superblocks(self, terms: list[str]) -> dict[str, tuple]:
         """term → (los, his, ns, max_tfc, min_tfc) superblock arrays sorted
         by doc_lo (kind=1 rows — O(df / (block_size · SUPERBLOCK_FACTOR))
         rows per term, the ONLY per-term-proportional metadata a query ever
-        loads eagerly). LRU-cached."""
-        missing = [t for t in terms if ("sbm", t) not in self._posting_cache]
+        loads eagerly). LRU-cached; values are collected as direct
+        references (see lexicon_rows: a put may evict another query term's
+        entry, so a read-back-after-put can silently drop a term)."""
+        vals: dict[str, tuple | None] = {}
+        for t in terms:
+            if ("sbm", t) in self._posting_cache:
+                vals[t] = self._posting_cache.get_(("sbm", t))
+        missing = [t for t in terms if t not in vals]
         if missing:
             tbl = self._pruned_read(
                 self._block_rgs, self.paths.blocks, missing,
@@ -501,11 +516,8 @@ class BlockIndexReader:
             if tbl is None:
                 for t in missing:
                     self._posting_cache.put(("sbm", t), None)
-                return {
-                    t: v
-                    for t in terms
-                    if (v := self._posting_cache.get_(("sbm", t))) is not None
-                }
+                    vals[t] = None
+                return {t: v for t in terms if (v := vals.get(t)) is not None}
             self.sb_rows_fetched += tbl.num_rows
             tcol = tbl.column("term").to_pylist()
             lo = tbl.column("doc_lo").to_numpy()
@@ -520,31 +532,33 @@ class BlockIndexReader:
                 idxs = per.get(t, [])
                 if not idxs:
                     self._posting_cache.put(("sbm", t), None)
+                    vals[t] = None
                     continue
                 o = np.array(idxs)[np.argsort(lo[idxs], kind="stable")]
-                self._posting_cache.put(
-                    ("sbm", t),
-                    (
-                        lo[o].astype(np.int64), hi[o].astype(np.int64),
-                        ns[o].astype(np.int64), mx[o], mn[o],
-                    ),
+                v = (
+                    lo[o].astype(np.int64), hi[o].astype(np.int64),
+                    ns[o].astype(np.int64), mx[o], mn[o],
                 )
-        return {
-            t: v
-            for t in terms
-            if (v := self._posting_cache.get_(("sbm", t))) is not None
-        }
+                self._posting_cache.put(("sbm", t), v)
+                vals[t] = v
+        return {t: v for t in terms if (v := vals.get(t)) is not None}
 
-    def _fetch_leaf_batch(self, wants: list[tuple[str, int, int, int]]) -> None:
+    def _fetch_leaf_batch(
+        self, wants: list[tuple[str, int, int, int]]
+    ) -> dict[tuple[str, int], "_Leaf"]:
         """Fetch the leaf blocks (metadata + raw payloads) of the given
         (term, sb_index, sb_doc_lo, sb_doc_hi) superblocks in ONE pruned
         parquet read, populating the ("leaf", term, sb_index) LRU slots.
         Leaf rows belong to exactly one superblock (superblock ranges
         partition each term's docID axis), so a doc_lo BETWEEN filter is an
-        exact membership test."""
+        exact membership test. Returns the leaves fetched THIS call as
+        direct references (callers needing a specific slot must not read it
+        back through the LRU — a later put in the same batch may already
+        have evicted it; see lexicon_rows)."""
+        fetched: dict[tuple[str, int], _Leaf] = {}
         todo = [w for w in wants if ("leaf", w[0], w[1]) not in self._posting_cache]
         if not todo:
-            return
+            return fetched
         by_term: dict[str, list[tuple[int, int, int]]] = {}
         for t, si, lo_, hi_ in todo:
             by_term.setdefault(t, []).append((si, lo_, hi_))
@@ -566,16 +580,15 @@ class BlockIndexReader:
         if tbl is None:
             for t, ranges in by_term.items():
                 for si, _lo, _hi in ranges:
-                    self._posting_cache.put(
-                        ("leaf", t, si),
-                        _Leaf(
-                            np.array([], dtype=np.int64),
-                            np.array([], dtype=np.int64),
-                            np.array([], dtype=np.int64),
-                            np.array([]), np.array([]), [], [], [],
-                        ),
+                    empty = _Leaf(
+                        np.array([], dtype=np.int64),
+                        np.array([], dtype=np.int64),
+                        np.array([], dtype=np.int64),
+                        np.array([]), np.array([]), [], [], [],
                     )
-            return
+                    self._posting_cache.put(("leaf", t, si), empty)
+                    fetched[(t, si)] = empty
+            return fetched
         tcol = tbl.column("term").to_pylist()
         lo = tbl.column("doc_lo").to_numpy()
         hi = tbl.column("doc_hi").to_numpy()
@@ -605,16 +618,16 @@ class BlockIndexReader:
                 # groups are sliced away here and not counted (the row-
                 # group selection above is what bounds the IO itself)
                 self.leaf_rows_fetched += len(sel)
-                self._posting_cache.put(
-                    ("leaf", t, si),
-                    _Leaf(
-                        lo[sel].astype(np.int64), hi[sel].astype(np.int64),
-                        ns[sel].astype(np.int64), mx[sel], mn[sel],
-                        [ids_vb[i] for i in sel],
-                        [tfs_vb[i] for i in sel],
-                        [dls_vb[i] for i in sel],
-                    ),
+                leaf = _Leaf(
+                    lo[sel].astype(np.int64), hi[sel].astype(np.int64),
+                    ns[sel].astype(np.int64), mx[sel], mn[sel],
+                    [ids_vb[i] for i in sel],
+                    [tfs_vb[i] for i in sel],
+                    [dls_vb[i] for i in sel],
                 )
+                self._posting_cache.put(("leaf", t, si), leaf)
+                fetched[(t, si)] = leaf
+        return fetched
 
     def _leaf_for(self, term: str, sb_idx: int) -> _Leaf:
         """The leaf blocks of one (term, superblock) — LRU hit or a single
@@ -623,18 +636,23 @@ class BlockIndexReader:
         leaf = self._posting_cache.get_(("leaf", term, sb_idx))
         if leaf is None:
             sbm = self._fetch_superblocks([term]).get(term)
-            self._fetch_leaf_batch(
+            leaf = self._fetch_leaf_batch(
                 [(term, sb_idx, int(sbm[0][sb_idx]), int(sbm[1][sb_idx]))]
-            )
-            leaf = self._posting_cache.get_(("leaf", term, sb_idx))
+            )[(term, sb_idx)]
         return leaf
 
     def _fetch_arrays(self, terms: list[str]) -> dict[str, tuple]:
         """term → decoded (ids:int64, tfs:f64, dls:f64) full posting arrays,
         LRU-cached. Columnar fetch — no per-block Python objects (building a
         _Block per row costs more than decoding for dense lists), one
-        segmented vb_decode per column."""
-        missing = [t for t in terms if ("arr", t) not in self._posting_cache]
+        segmented vb_decode per column. Values are collected as direct
+        references (see lexicon_rows: a put may evict another query term's
+        entry, so a read-back-after-put can silently drop a term)."""
+        vals: dict[str, tuple | None] = {}
+        for t in terms:
+            if ("arr", t) in self._posting_cache:
+                vals[t] = self._posting_cache.get_(("arr", t))
+        missing = [t for t in terms if t not in vals]
         if missing:
             tbl = self._pruned_read(
                 self._block_rgs, self.paths.blocks, missing,
@@ -644,11 +662,8 @@ class BlockIndexReader:
             if tbl is None:
                 for t in missing:
                     self._posting_cache.put(("arr", t), None)
-                return {
-                    t: v
-                    for t in terms
-                    if (v := self._posting_cache.get_(("arr", t))) is not None
-                }
+                    vals[t] = None
+                return {t: v for t in terms if (v := vals.get(t)) is not None}
             self.leaf_rows_fetched += tbl.num_rows
             tcol = tbl.column("term").to_pylist()
             lo = tbl.column("doc_lo").to_numpy()
@@ -663,6 +678,7 @@ class BlockIndexReader:
                 idxs = sorted(per.get(t, []), key=lambda i: lo[i])
                 if not idxs:
                     self._posting_cache.put(("arr", t), None)
+                    vals[t] = None
                     continue
                 ns = ns_all[idxs].astype(np.int64)
                 starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
@@ -679,12 +695,10 @@ class BlockIndexReader:
                 ids = (cs - np.repeat(offsets, ns)).astype(np.int64)
                 tfs = vb_decode(b"".join(tfs_vb[i] for i in idxs)).astype(np.float64)
                 dls = vb_decode(b"".join(dls_vb[i] for i in idxs)).astype(np.float64)
-                self._posting_cache.put(("arr", t), (ids, tfs, dls))
-        return {
-            t: v
-            for t in terms
-            if (v := self._posting_cache.get_(("arr", t))) is not None
-        }
+                v = (ids, tfs, dls)
+                self._posting_cache.put(("arr", t), v)
+                vals[t] = v
+        return {t: v for t in terms if (v := vals.get(t)) is not None}
 
     def _cursors(self, terms: list[str]) -> list[TermCursor]:
         """Two-level cursors with lead-driven prefetch. The galloping
