@@ -585,6 +585,62 @@ def _run_phase_subprocess(cores: int, tag: str, replicate: int,
         return _json.load(open(f.name))
 
 
+def _marco_eval() -> dict | None:
+    """Reference-scale batch evaluation (readme.md:98: 367,013 MS MARCO
+    doctrain queries at 798 q/s on 20 threads): scripts/marco_scale_eval.py
+    builds a 480k-doc Zipf-REALISTIC-vocabulary corpus (the headline corpus
+    is deliberately dense — every term df ≈ 0.8·N — which is the decode-
+    bound regime, not the selective regime 367k real queries live in),
+    generates the full 367,013-query / 384,597-qrels fixture, and runs the
+    distributed evaluate_job end-to-end in a fresh subprocess. The
+    --local (process-pool) twin and its exact-MRR-equality check run in
+    scripts/marco_scale_eval.py's full mode; the per-round bench records
+    the distributed line. ~10 min; full bench mode only."""
+    import subprocess
+
+    workdir = tempfile.mkdtemp(prefix="wse_marco_", dir=TMP_ROOT)
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts", "marco_scale_eval.py",
+                ),
+                "--workdir", workdir, "--skip-local",
+            ]
+            # size overrides for smoke-testing the wrapper itself; unset in
+            # real runs (the reference workload is 367,013 queries)
+            + sum(
+                (
+                    [flag, os.environ[env]]
+                    for flag, env in (
+                        ("--n-docs", "SPARK_GRAFT_MARCO_N_DOCS"),
+                        ("--n-queries", "SPARK_GRAFT_MARCO_N_QUERIES"),
+                    )
+                    if os.environ.get(env)
+                ),
+                [],
+            ),
+            capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            print(f"marco eval failed: {proc.stderr[-2000:]}", file=sys.stderr)
+            return None
+        r = json.loads(proc.stdout.strip().splitlines()[-1])
+        d = r.get("dist", {})
+        return {
+            "n_queries": r.get("n_queries"),
+            "n_docs": r.get("n_docs"),
+            "vocab": r.get("vocab"),
+            "mrr": d.get("mrr"),
+            "seconds": d.get("seconds"),
+            "queries_per_sec": d.get("queries_per_sec"),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     results: dict = {}
     ctrls: dict = {}
@@ -651,6 +707,14 @@ def main() -> None:
     if tmp:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # reference-scale 367k-query eval — full mode only (adds ~10 min),
+    # skippable independently for local iteration
+    marco = None
+    if not SKIP_SCALING and os.environ.get("SPARK_GRAFT_BENCH_NO_MARCO", "") != "1":
+        marco = _marco_eval()
+        if marco and marco.get("seconds") is not None:
+            results["marco_eval_367013q"] = round(marco["seconds"], 3)
+
     tput = results.pop("_tput", {})
     scaling = None
     if lo in tput and hi in tput and not SKIP_SCALING:
@@ -706,6 +770,8 @@ def main() -> None:
     }
     if zipf:
         out["zipf_wand"] = zipf
+    if marco:
+        out["marco_eval"] = marco
     if scaling:
         out["scaling"] = scaling
     print(json.dumps(out))

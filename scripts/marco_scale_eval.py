@@ -122,10 +122,21 @@ def _fixtures(workdir: str, n_docs: int, n_queries: int) -> None:
     os.makedirs(qdir, exist_ok=True)
     os.makedirs(rdir, exist_ok=True)
     qshards = [open(os.path.join(qdir, f"queries_{k:02d}.tsv"), "w") for k in range(8)]
+    # MS MARCO queries carry CONTENT words — the rarest term bounds the
+    # conjunctive cost. A raw Zipf window is often all head words (the top
+    # ~20 words each cover >30% of docs), which is a workload no real query
+    # set has; rotate the window until it contains at least one selective
+    # term (vocab rank ≥ SELECTIVE_MIN → df ≲ 2% of docs)
+    SELECTIVE_MIN = 2000
     for i in range(n_queries):
         j = (i * 104_729) % n_docs  # prime stride over the corpus
         qlen = 4 + (i % 4)
-        start = (i * 7919) % (DOC_LEN - qlen)
+        base_start = (i * 7919) % (DOC_LEN - qlen)
+        start = base_start
+        for off in range(DOC_LEN - qlen):
+            start = (base_start + off) % (DOC_LEN - qlen)
+            if (ids[j, start : start + qlen] >= SELECTIVE_MIN).any():
+                break
         query = " ".join(vocab[ids[j, start : start + qlen]])
         qshards[i % 8].write(f"{i}\t{query}\n")
     for f in qshards:
