@@ -56,11 +56,16 @@ def _all_entries() -> dict[str, tuple]:
     from websearchengine_spark.plans.pipeline_gate import pipeline_entries
 
     entries = {**core_entries(), **pipeline_entries()}
-    assert len(entries) <= DRIVER_GATE_CAP, (
-        f"{len(entries)} gate entries > driver cap {DRIVER_GATE_CAP}; "
-        "entries past the cap are silently dropped from CORRECTNESS_r*.json "
-        "— merge related gates instead (see q_mrr_both)"
-    )
+    # hard error, not assert: python -O strips asserts, and a stripped
+    # guard reproduces exactly the failure it exists to prevent (round 3:
+    # the 51st entry silently absent from the driver artifact)
+    if len(entries) > DRIVER_GATE_CAP:
+        raise ValueError(
+            f"{len(entries)} gate entries > driver cap {DRIVER_GATE_CAP}; "
+            "entries past the cap are silently dropped from "
+            "CORRECTNESS_r*.json — merge related gates instead "
+            "(see q_mrr_both)"
+        )
     return entries
 
 

@@ -139,9 +139,13 @@ def test_stream_user_sessions_matches_batch(spark, tmp_path):
         # appears; the watermark after b1 passes user 2's timeout
         [ev(4, 20, 1), ev(5, 60, 1), ev(6, 60, 3)],
         # b2: far-future sentinel — advances the watermark a day, so b3
-        # (sentinel 2) fires the timeouts for user 1's session 1 + user 3
+        # (sentinel 2) fires the timeouts for user 1's session 1 + user 3.
+        # User 2's session 0 times out DURING b2 (no user-2 data here).
         [ev(7, 0, 98, day=1)],
-        [ev(8, 0, 99, day=2)],
+        # b3: user 2 RETURNS after its timeout — the tombstone must carry
+        # the session counter, so this is session 1, not a duplicate
+        # (2, 0); the 2-hour in-batch gap closes it deterministically
+        [ev(8, 0, 99, day=2), ev(9, 0, 2, day=1), ev(10, 120, 2, day=1)],
     ]
     import glob
     import shutil
@@ -192,7 +196,9 @@ def test_stream_user_sessions_matches_batch(spark, tmp_path):
     # (sentinel 98's session may also flush — availableNow runs a final
     # watermark-advance batch — but 99's never can: nothing outlives it)
     assert set(exp) <= set(got)
-    assert set(got) - set(exp) <= {(98, 0)}
+    # (2, 1) = user 2's post-timeout return; (2, 2) and (98, 0) may also
+    # flush in availableNow's final watermark-advance batch
+    assert set(got) - set(exp) <= {(98, 0), (2, 1), (2, 2)}
     for key in exp:
         start, end, n, _by = got[key]
         assert (start, end, n) == exp[key], key
@@ -202,6 +208,12 @@ def test_stream_user_sessions_matches_batch(spark, tmp_path):
     assert got[(2, 0)][3] == "timeout"
     assert got[(3, 0)][3] == "timeout"
     assert (99, 0) not in got
+    # REGRESSION (session counter survives timeout): user 2 returned after
+    # its session-0 timeout; the tombstone state must number the new
+    # session 1 — the pre-fix code removed state on timeout, restarting at
+    # 0 and silently overwriting the (2, 0) key with conflicting values
+    day1 = base + dt.timedelta(days=1)
+    assert got[(2, 1)] == (day1, day1, 1, "gap")
 
 
 def test_batch_replay_is_idempotent(spark, tmp_path):

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow.dataset as ds
 import pyarrow.parquet as pq
 
+from websearchengine_spark.operators.wand import _LRU
 from websearchengine_spark.pipeline.similarity import plane_signs
 
 
@@ -37,8 +38,9 @@ class AnnService:
         self._ds = ds.dataset(os.path.join(root, "vectors"), partitioning="hive")
         self._signs = plane_signs(self.n_planes, self.dim)
         self._shifts = np.arange(self.n_planes, dtype=np.int64)
-        self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        self._cache_cap = bucket_cache
+        # true LRU (hits refresh recency) — a plain-dict FIFO evicts the
+        # hottest bucket as readily as the coldest
+        self._cache = _LRU(bucket_cache)
 
     def signature(self, qv: np.ndarray) -> int:
         """Same fixed-point rounding the JVM expression applies: ROUND half
@@ -49,8 +51,9 @@ class AnnService:
         return int(((dots > 0).astype(np.int64) << self._shifts).sum())
 
     def _bucket(self, sig: int):
-        if sig in self._cache:
-            return self._cache[sig]
+        v = self._cache.get_(sig)
+        if v is not None:
+            return v
         tbl = self._ds.to_table(filter=ds.field("sig") == sig)
         ids = tbl.column("vec_id").to_numpy().astype(np.int64)
         mat = (
@@ -59,10 +62,9 @@ class AnnService:
             else np.zeros((0, self.dim))
         )
         norms = _seq_dot(mat, mat) if len(mat) else np.zeros(0)
-        if len(self._cache) >= self._cache_cap:
-            self._cache.pop(next(iter(self._cache)))
-        self._cache[sig] = (ids, mat, norms)
-        return self._cache[sig]
+        v = (ids, mat, norms)
+        self._cache.put(sig, v)
+        return v
 
     def search_vector(
         self, qv: np.ndarray, k: int = 10, exclude_id: int | None = None
@@ -110,9 +112,16 @@ class IvfService:
         cents.sort(key=lambda r: r["list_id"])
         self._cent_ids = np.array([r["list_id"] for r in cents], dtype=np.int64)
         self._cents = np.array([r["v"] for r in cents], dtype=np.float64)
+        # centroids are immutable after init — their self-norms are too
+        self._cent_norms = (
+            _seq_dot(self._cents, self._cents)
+            if len(self._cents)
+            else np.zeros(0)
+        )
         self._ds = ds.dataset(os.path.join(root, "vectors"), partitioning="hive")
-        self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        self._cache_cap = list_cache
+        # true LRU (hits refresh recency) — a plain-dict FIFO evicts the
+        # hottest list as readily as the coldest
+        self._cache = _LRU(list_cache)
         self.lists_read = 0  # instrumentation: partitions actually fetched
 
     def probe_lists(self, qv: np.ndarray, nprobe: int) -> list[int]:
@@ -120,7 +129,7 @@ class IvfService:
         qv = np.asarray(qv, dtype=np.float64)
         nq = float(np.cumsum(qv * qv)[-1]) if len(qv) else 0.0
         dots = _seq_dot(self._cents, np.broadcast_to(qv, self._cents.shape))
-        ncs = _seq_dot(self._cents, self._cents)
+        ncs = self._cent_norms
         with np.errstate(invalid="ignore", divide="ignore"):
             cos = np.where((ncs > 0) & (nq > 0), dots / np.sqrt(ncs * nq), 0.0)
         cos = np.round(cos, 6)
@@ -128,8 +137,9 @@ class IvfService:
         return [int(self._cent_ids[i]) for i in order[:nprobe]]
 
     def _list(self, list_id: int):
-        if list_id in self._cache:
-            return self._cache[list_id]
+        v = self._cache.get_(list_id)
+        if v is not None:
+            return v
         tbl = self._ds.to_table(filter=ds.field("list_id") == list_id)
         self.lists_read += 1
         ids = tbl.column("vec_id").to_numpy().astype(np.int64)
@@ -139,10 +149,9 @@ class IvfService:
             else np.zeros((0, self.dim))
         )
         norms = _seq_dot(mat, mat) if len(mat) else np.zeros(0)
-        if len(self._cache) >= self._cache_cap:
-            self._cache.pop(next(iter(self._cache)))
-        self._cache[list_id] = (ids, mat, norms)
-        return self._cache[list_id]
+        v = (ids, mat, norms)
+        self._cache.put(list_id, v)
+        return v
 
     def search_vector(
         self,

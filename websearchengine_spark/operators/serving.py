@@ -51,19 +51,23 @@ class ServingEngine:
     ):
         import os
 
+        from websearchengine_spark.plans.block_index import BlockIndexPaths
+
         self.reader = BlockIndexReader(index_dir, result_cache=result_cache)
         self.snippets = None
         # prefer the index's doc_id-clustered text sidecar (store_texts=True
-        # builds) — the page-table seek; fall back to the raw transcripts
-        texts_dir = os.path.join(index_dir, "texts")
-        has_sidecar = os.path.isdir(texts_dir)
+        # builds) — the page-table seek; fall back to the raw transcripts.
+        # Paths come from BlockIndexPaths (the one place the index layout
+        # is defined), not hand-joined strings.
+        paths = BlockIndexPaths(index_dir)
+        has_sidecar = os.path.isdir(paths.texts)
         if has_sidecar or transcripts_path is not None:
             from websearchengine_spark.operators.snippets import SnippetService
 
             self.snippets = SnippetService(
-                os.path.join(index_dir, "doc_stats"),
+                paths.doc_stats,
                 transcripts_path,
-                texts_path=texts_dir if has_sidecar else None,
+                texts_path=paths.texts if has_sidecar else None,
             )
         self.semantic = None
         if embeddings_path is not None:

@@ -34,9 +34,85 @@ page-table byte offsets into the corpus file, main.cpp:63-69, 498).
 
 from __future__ import annotations
 
+import os
+
+import pyarrow as pa
 import pyarrow.dataset as ds
+import pyarrow.parquet as pq
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+class _DocIdRGs:
+    """Row-group-pruned point reads over a doc_id-sorted parquet table
+    (the text sidecar / doc_stats). pyarrow's dataset Scanner does NOT
+    prune parquet row groups from filter expressions (measured in
+    operators/wand._BucketRGs — the same 80%-of-query-time finding), so a
+    ``doc_id isin`` over a multi-GB sidecar decodes the WHOLE table. This
+    reads each file's footer once (O(row groups) metadata, no data pages)
+    and serves a k-doc fetch via ``read_row_groups`` on exactly the groups
+    whose doc_id min/max can contain a wanted id — the reference's
+    page-table ``begin/end`` byte seek (main.cpp:498) for parquet. Missing
+    statistics degrade to reading that group (superset, never wrong)."""
+
+    __slots__ = ("parts", "stats")
+
+    def __init__(self, path: str):
+        files = (
+            sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(path)
+            else [path]
+        )
+        self.parts = [pq.ParquetFile(p) for p in files]
+        self.stats: list[list[tuple[int, int] | None]] = []
+        for pf in self.parts:
+            md = pf.metadata
+            rgs: list[tuple[int, int] | None] = []
+            for ri in range(md.num_row_groups):
+                rg = md.row_group(ri)
+                st = None
+                for ci in range(rg.num_columns):
+                    col = rg.column(ci)
+                    if col.path_in_schema == "doc_id":
+                        s = col.statistics
+                        if s is not None and s.has_min_max:
+                            st = (int(s.min), int(s.max))
+                        break
+                rgs.append(st)
+            self.stats.append(rgs)
+
+    def read(self, doc_ids: list[int], columns: list[str]) -> "pa.Table":
+        import bisect
+
+        wanted = sorted(set(doc_ids))
+        out = []
+        for pf, rgs in zip(self.parts, self.stats):
+            sel = [
+                ri
+                for ri, st in enumerate(rgs)
+                if st is None
+                or (
+                    (i := bisect.bisect_left(wanted, st[0])) < len(wanted)
+                    and wanted[i] <= st[1]
+                )
+            ]
+            if sel:
+                out.append(pf.read_row_groups(sel, columns=columns))
+        if not out:
+            schema = self.parts[0].schema_arrow
+            return pa.table(
+                {c: pa.array([], type=schema.field(c).type) for c in columns}
+            )
+        tbl = pa.concat_tables(out)
+        import pyarrow.compute as pc
+
+        return tbl.filter(
+            pc.is_in(tbl.column("doc_id"), value_set=pa.array(wanted))
+        )
 
 from websearchengine_spark.functions.tokenizer import (
     ASCII_LOWER,
@@ -193,20 +269,19 @@ class SnippetService:
         transcripts_path: str | None = None,
         texts_path: str | None = None,
     ):
-        self._doc_stats = ds.dataset(doc_stats_path)
+        self._doc_stats = _DocIdRGs(doc_stats_path)
         self._transcripts = (
             ds.dataset(transcripts_path) if transcripts_path is not None else None
         )
-        self._texts = ds.dataset(texts_path) if texts_path is not None else None
+        self._texts = _DocIdRGs(texts_path) if texts_path is not None else None
         if self._texts is None and self._transcripts is None:
             raise ValueError("need texts_path (sidecar) or transcripts_path")
 
     def meta_for(self, doc_ids: list[int]) -> dict[int, dict]:
         """doc_id → {conv_id, turn_idx, role} — the `url` analogue of the
         result items (SURVEY.md §1.5)."""
-        rows = self._doc_stats.to_table(
-            filter=ds.field("doc_id").isin(doc_ids),
-            columns=["doc_id", "conv_id", "turn_idx", "role"],
+        rows = self._doc_stats.read(
+            doc_ids, ["doc_id", "conv_id", "turn_idx", "role"]
         ).to_pylist()
         return {
             r["doc_id"]: {
@@ -219,14 +294,10 @@ class SnippetService:
 
     def texts_for(self, doc_ids: list[int]) -> dict[int, str]:
         if self._texts is not None:
-            rows = self._texts.to_table(
-                filter=ds.field("doc_id").isin(doc_ids),
-                columns=["doc_id", "text"],
-            ).to_pylist()
+            rows = self._texts.read(doc_ids, ["doc_id", "text"]).to_pylist()
             return {r["doc_id"]: r["text"] for r in rows}
-        keys = self._doc_stats.to_table(
-            filter=ds.field("doc_id").isin(doc_ids),
-            columns=["doc_id", "conv_id", "turn_idx"],
+        keys = self._doc_stats.read(
+            doc_ids, ["doc_id", "conv_id", "turn_idx"]
         ).to_pylist()
         if not keys:
             return {}

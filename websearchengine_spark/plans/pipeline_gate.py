@@ -688,6 +688,7 @@ def q_ivf_index_topk(spark, sf_dir):
     layout with no Spark on the query path — a query reads exactly nprobe
     partitions. Same oracle as sim_ivf_topk ⇒ the driver proves the
     materialized path bit-identical to the DataFrame plan and DuckDB."""
+    import shutil
     import tempfile
 
     import numpy as np
@@ -697,21 +698,27 @@ def q_ivf_index_topk(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="wse_ivfgate_")
-    build_ivf_index(emb, out, n_lists=16)
-    svc = IvfService(out)
-    qvecs = {
-        int(r["vec_id"]): np.array([float(x) for x in r["embedding"]])
-        for r in emb.filter("vec_id < 5").collect()
-    }
-    rows = []
-    for qid in sorted(qvecs):
-        for rank, vid, cos in svc.search_vector(
-            qvecs[qid], k=10, nprobe=4, exclude_id=qid
-        ):
-            rows.append((qid, rank, vid, cos))
-    return spark.createDataFrame(
-        rows, "query_id long, rank long, vec_id long, cosine double"
-    )
+    try:
+        build_ivf_index(emb, out, n_lists=16)
+        svc = IvfService(out)
+        qvecs = {
+            int(r["vec_id"]): np.array([float(x) for x in r["embedding"]])
+            for r in emb.filter("vec_id < 5").collect()
+        }
+        rows = []
+        for qid in sorted(qvecs):
+            for rank, vid, cos in svc.search_vector(
+                qvecs[qid], k=10, nprobe=4, exclude_id=qid
+            ):
+                rows.append((qid, rank, vid, cos))
+        # rows are fully materialized — the on-disk index is no longer
+        # needed, so the gate leaves no temp dir behind (repeated driver /
+        # parity runs used to accumulate one full index copy per call)
+        return spark.createDataFrame(
+            rows, "query_id long, rank long, vec_id long, cosine double"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 SQL_IVF_TOPK = f"""

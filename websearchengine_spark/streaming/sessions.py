@@ -17,7 +17,11 @@ start_us, last_us, n_events) — and on each micro-batch:
   closed it, so the union of emitted sessions equals the batch result on
   any replayed prefix whose watermark passed.
 
-Scale shape: state is O(active users) × one fixed-width tuple; each
+Scale shape: state is one fixed-width tuple per user SEEN (after a
+timeout the tuple stays as a counter-only tombstone — the batch twin
+numbers sessions ordinally over the user's whole history, so parity
+requires remembering the per-user session count; a tombstone registers
+no timer, so idle users cost state-store bytes but no timeout scans); each
 micro-batch shuffles only its own events on user_id (the same single
 exchange as the batch plan). Timeouts ride Spark's state store — no scan
 of idle users. Skew note: a power-user's events still serialize within
@@ -88,13 +92,22 @@ def _make_session_fn(gap_minutes: int):
 
         if state.hasTimedOut:
             idx, start_us, last_us, n = state.get
-            state.remove()
+            # keep a TOMBSTONE carrying the session counter instead of
+            # removing state: the batch twin numbers sessions ordinally
+            # over the user's whole history, so a user who returns after
+            # a timeout must continue at idx+1, not restart at 0 (which
+            # would also emit a duplicate (user_id, session_idx) key).
+            # start_us=-1 encodes "no open session"; no timeout is
+            # re-registered, so the tombstone costs no timer scans.
+            state.update((int(idx), -1, -1, 0))
             yield _emit([(user_id, idx, start_us, last_us, n, "timeout")])
             return
 
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if state.exists:
             idx, start_us, last_us, n = state.get
+            if start_us == -1:  # tombstone: counter only, no open session
+                start_us, last_us, n = None, None, 0
         else:
             idx, start_us, last_us, n = -1, None, None, 0
         if len(pdf) == 0:  # state-only invocation: nothing to fold
