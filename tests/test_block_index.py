@@ -97,6 +97,50 @@ def test_eviction_pressure_never_changes_results(
                 assert math.isclose(es, asc, rel_tol=1e-9, abs_tol=1e-12), q
 
 
+def test_concurrent_search_is_rank_identical(index_dir, oracle, fixture):
+    """C3 (thread-safe LRU, evaluation.cpp:84-121): one reader shared by
+    16 threads — the reference's evaluator-pool shape — must stay rank-
+    and score-identical to the oracle on every query. The LRU is lock-
+    guarded (concurrent move_to_end/popitem would corrupt the OrderedDict
+    links) and fetch helpers collect direct references, so a racing
+    eviction costs a duplicate fetch, never a wrong answer. Tiny caches
+    maximize eviction races; each thread runs the full query stream in a
+    different rotation so threads constantly push each other's entries
+    out."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    r = BlockIndexReader(
+        index_dir, result_cache=8, posting_cache=8, rg_cache=2
+    )
+    queries = list(fixture.queries["query"])
+    expected = {
+        (q, conj): oracle.search(q, conjunctive=conj, k=10)
+        for q in queries
+        for conj in (True, False)
+    }
+
+    def worker(offset):
+        bad = []
+        n = len(queries)
+        for i in range(n):
+            q = queries[(i + offset) % n]
+            conj = (i + offset) % 2 == 0
+            got = r.search(q, conjunctive=conj, k=10)
+            exp = expected[(q, conj)]
+            if [(rk, d) for rk, d, _ in got] != [(rk, d) for rk, d, _ in exp]:
+                bad.append((q, conj, got, exp))
+            else:
+                for (_, _, es), (_, _, asc) in zip(exp, got):
+                    if not math.isclose(es, asc, rel_tol=1e-9, abs_tol=1e-12):
+                        bad.append((q, conj, got, exp))
+                        break
+        return bad
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        results = list(pool.map(worker, range(16)))
+    assert all(not b for b in results), [b[:1] for b in results if b]
+
+
 def test_result_cache_hit(reader, oracle):
     r1 = reader.search("the data", conjunctive=False, k=10)
     r2 = reader.search("the data", conjunctive=False, k=10)

@@ -39,6 +39,7 @@ from __future__ import annotations
 import heapq
 import math
 import os
+import threading
 import time
 from bisect import bisect_left
 from collections import OrderedDict
@@ -190,23 +191,45 @@ class _BucketRGs:
 
 
 class _LRU(OrderedDict):
-    """O(1) LRU cache (reference main.cpp:78-110)."""
+    """O(1) thread-safe LRU cache (reference main.cpp:78-110; the
+    thread-safe variant is the evaluator pool's shared cache,
+    evaluation.cpp:84-121). A lock guards every access: concurrent
+    ``search()`` callers sharing one reader would otherwise corrupt the
+    OrderedDict's links mid-``move_to_end``/``popitem``. Values are safe
+    to share because fetch helpers collect DIRECT references and never
+    read back through the cache (see lexicon_rows) — a racing eviction
+    costs a duplicate fetch, never a wrong answer."""
 
     def __init__(self, cap: int):
         super().__init__()
         self.cap = cap
+        self._lock = threading.Lock()
 
     def get_(self, key):
-        if key in self:
-            self.move_to_end(key)
-            return self[key]
-        return None
+        with self._lock:
+            if key in self:
+                self.move_to_end(key)
+                return self[key]
+            return None
+
+    def get2(self, key):
+        """(present, value) in ONE locked read — callers that must
+        distinguish a stored None from a miss cannot use ``key in cache``
+        followed by ``get_`` (a concurrent eviction between the two turns
+        a present entry into a miss, which the fetch helpers would treat
+        as term-absent)."""
+        with self._lock:
+            if key in self:
+                self.move_to_end(key)
+                return True, self[key]
+            return False, None
 
     def put(self, key, value):
-        self[key] = value
-        self.move_to_end(key)
-        if len(self) > self.cap:
-            self.popitem(last=False)
+        with self._lock:
+            self[key] = value
+            self.move_to_end(key)
+            if len(self) > self.cap:
+                self.popitem(last=False)
 
 
 @dataclass
@@ -477,8 +500,9 @@ class BlockIndexReader:
         # optimization: eviction can only cost a refetch, never an answer.
         vals: dict[str, int | None] = {}
         for t in terms:
-            if ("lex", t) in self._posting_cache:
-                vals[t] = self._posting_cache.get_(("lex", t))
+            hit, v = self._posting_cache.get2(("lex", t))
+            if hit:
+                vals[t] = v
         missing = [t for t in terms if t not in vals]
         if missing:
             tbl = self._pruned_read(
@@ -504,8 +528,9 @@ class BlockIndexReader:
         entry, so a read-back-after-put can silently drop a term)."""
         vals: dict[str, tuple | None] = {}
         for t in terms:
-            if ("sbm", t) in self._posting_cache:
-                vals[t] = self._posting_cache.get_(("sbm", t))
+            hit, v = self._posting_cache.get2(("sbm", t))
+            if hit:
+                vals[t] = v
         missing = [t for t in terms if t not in vals]
         if missing:
             tbl = self._pruned_read(
@@ -632,14 +657,21 @@ class BlockIndexReader:
     def _leaf_for(self, term: str, sb_idx: int) -> _Leaf:
         """The leaf blocks of one (term, superblock) — LRU hit or a single
         on-demand fetch (cursors prefetch in batches; this is the miss
-        path)."""
-        leaf = self._posting_cache.get_(("leaf", term, sb_idx))
-        if leaf is None:
+        path). Loop, not a single try: under concurrent readers another
+        thread may have fetched the slot between our miss and our fetch
+        (its presence makes our fetch a no-op), then an eviction can take
+        it before our re-read — the next iteration simply fetches it
+        ourselves and returns the direct reference."""
+        while True:
+            leaf = self._posting_cache.get_(("leaf", term, sb_idx))
+            if leaf is not None:
+                return leaf
             sbm = self._fetch_superblocks([term]).get(term)
-            leaf = self._fetch_leaf_batch(
+            got = self._fetch_leaf_batch(
                 [(term, sb_idx, int(sbm[0][sb_idx]), int(sbm[1][sb_idx]))]
-            )[(term, sb_idx)]
-        return leaf
+            ).get((term, sb_idx))
+            if got is not None:
+                return got
 
     def _fetch_arrays(self, terms: list[str]) -> dict[str, tuple]:
         """term → decoded (ids:int64, tfs:f64, dls:f64) full posting arrays,
@@ -650,8 +682,9 @@ class BlockIndexReader:
         entry, so a read-back-after-put can silently drop a term)."""
         vals: dict[str, tuple | None] = {}
         for t in terms:
-            if ("arr", t) in self._posting_cache:
-                vals[t] = self._posting_cache.get_(("arr", t))
+            hit, v = self._posting_cache.get2(("arr", t))
+            if hit:
+                vals[t] = v
         missing = [t for t in terms if t not in vals]
         if missing:
             tbl = self._pruned_read(
