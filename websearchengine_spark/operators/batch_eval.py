@@ -55,7 +55,13 @@ def batch_search(
     worker then cold-decodes a term's postings at most once instead of
     every worker paying the full hot-term fetch (the reference's single
     shared posting cache, evaluation.cpp:84-121, recreated as per-worker
-    caches with term-affinity routing). Output is partitioning-invariant."""
+    caches with term-affinity routing). Output is partitioning-invariant.
+
+    Measured caveat (BASELINE.md): at MS-MARCO-shape workloads the
+    DEFAULT (random) routing wins by > 2.4× — Zipf-distributed lead terms
+    make affinity partitions straggle, and hot terms appear in so many
+    queries that every worker warms them within its first few queries
+    anyway. Use affinity only when the lead-term histogram is balanced."""
     q = queries.select("query_id", "query")
     if partition_by_term:
         key = F.element_at(F.split(F.trim(F.lower("query")), "[^a-z0-9]+"), 1)
