@@ -45,9 +45,23 @@ def test_shingle_df_cap_drops_boilerplate(spark):
     # shingle shared by ALL docs is boilerplate; cap excludes it from pairing
     rows = [(i, f"common prefix here unique{i} tail{i} words{i}") for i in range(5)]
     d = spark.createDataFrame(rows, "doc_id long, text string")
-    uncapped = dedup.ngram_jaccard_pairs(d, threshold=0.05).count()
+    uncapped = dedup.ngram_jaccard_pairs(d, threshold=0.05, shingle_df_cap=None).count()
     capped = dedup.ngram_jaccard_pairs(d, threshold=0.05, shingle_df_cap=2).count()
     assert uncapped > 0 and capped == 0
+
+
+def test_shingle_df_cap_default_bounds_hot_shingle_candidates(spark):
+    # a boilerplate shingle shared by m > cap docs contributes m·(m-1)/2
+    # candidate pairs uncapped — the DEFAULT cap must keep the candidate
+    # count bounded so a naive call can't go quadratic on boilerplate
+    m = 300  # > the default cap of 256
+    rows = [(i, f"legal disclaimer text unique{i} tail{i} words{i}") for i in range(m)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # threshold 0 surfaces every surviving candidate pair
+    default_pairs = dedup.ngram_jaccard_pairs(d, threshold=1e-9).count()
+    assert default_pairs == 0  # boilerplate-only pairs all dropped by default
+    uncapped = dedup.ngram_jaccard_pairs(d, threshold=1e-9, shingle_df_cap=None).count()
+    assert uncapped == m * (m - 1) // 2  # the quadratic blowup the cap prevents
 
 
 def test_minhash_lsh_matches_bruteforce_at_threshold(docs):

@@ -69,14 +69,18 @@ def _shingle_rows(docs: DataFrame, k: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.5, shingle_df_cap: int | None = None
+    docs: DataFrame, k: int = 3, threshold: float = 0.5, shingle_df_cap: int | None = 256
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via shingle-inverted self-join.
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
     ``shingle_df_cap`` drops shingles appearing in more than cap docs before
     the pair join (boilerplate = skew + quadratic blowup; dropping them can
-    only lower Jaccard estimates for pairs sharing *only* boilerplate)."""
+    only lower Jaccard estimates for pairs sharing *only* boilerplate).
+    Defaults to 256 so a naive call cannot go quadratic on boilerplate: one
+    shingle shared by m docs alone contributes m·(m-1)/2 candidate pairs, so
+    an uncapped hot shingle at corpus scale is an all-pairs join in disguise.
+    Pass ``None`` only for oracle-grade exact Jaccard on bounded corpora."""
     rows = _shingle_rows(docs, k)
     if shingle_df_cap is not None:
         keep = (

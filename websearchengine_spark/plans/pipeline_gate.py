@@ -285,7 +285,15 @@ def q_ngram_jaccard(spark, sf_dir):
 
 SQL_NGRAM_JACCARD = f"""
 WITH {SQL_TOKS}, {SQL_SH},
-e AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+e0 AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+-- mirror ngram_jaccard_pairs' default shingle_df_cap=256: shingles in more
+-- than 256 docs are dropped before the pair join (n_sh stays UNCAPPED on
+-- both sides, exactly as the Spark plan computes it)
+e AS (
+  SELECT * FROM e0 WHERE shingle IN (
+    SELECT shingle FROM e0 GROUP BY shingle HAVING COUNT(*) <= 256
+  )
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
