@@ -1,0 +1,196 @@
+"""Incremental merge tests (plans/merge_index.py): base + delta merged
+index must be CONTENT-IDENTICAL — including varbyte payload bytes — to a
+from-scratch build on the union when arrival order == (conv_id, turn_idx)
+order, and rank-identical at serving time regardless of salt layout.
+Reference analogue: merge_index.cpp:394-476 (k-way merge of sorted runs
+over an existing index + new runs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow.dataset as ds
+import pytest
+from pyspark.sql import functions as F
+
+from websearchengine_spark.plans.block_index import build_block_index
+from websearchengine_spark.plans.merge_index import merge_block_indexes
+
+TS0 = dt.datetime(2026, 1, 2, 9, 0, 0)
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+WORDS = ["spark", "merge", "index", "query", "the", "data", "block", "run"]
+
+
+def _tdf(spark, prefix: str, n_convs: int, n_turns: int = 4):
+    rows = []
+    for c in range(n_convs):
+        for t in range(n_turns):
+            # deterministic skewed vocab: every turn mentions "the"; other
+            # terms rotate so base and delta share most of the vocabulary
+            body = " ".join(
+                WORDS[(c * 7 + t * 3 + j) % len(WORDS)] for j in range(3 + t)
+            )
+            rows.append(
+                (
+                    f"{prefix}{c:03d}",
+                    t,
+                    "user" if t % 2 == 0 else "assistant",
+                    f"the {body} turn {t}",
+                    None if t % 3 else "search",
+                    TS0 + dt.timedelta(seconds=60 * (c * n_turns + t)),
+                )
+            )
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _table_rows(path: str, sort_cols: list[str]) -> list[tuple]:
+    tbl = ds.dataset(path, partitioning="hive").to_table()
+    df = tbl.to_pandas().sort_values(sort_cols, kind="mergesort")
+    cols = sorted(df.columns)
+    return [tuple(r) for r in df[cols].itertuples(index=False, name=None)]
+
+
+@pytest.fixture(scope="module")
+def merged_vs_scratch(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("merge_idx")
+    base_t = _tdf(spark, "a", 10)
+    delta_t = _tdf(spark, "b", 4)  # delta convs sort AFTER base convs
+    kw = dict(resume=False, n_buckets=8, num_partitions=4)
+    build_block_index(base_t, str(root / "base"), build_id="b", **kw)
+    build_block_index(delta_t, str(root / "delta"), build_id="d", **kw)
+    m = merge_block_indexes(
+        spark, str(root / "base"), str(root / "delta"), str(root / "merged"),
+        build_id="m",
+    )
+    s = build_block_index(
+        base_t.unionByName(delta_t), str(root / "scratch"), build_id="s", **kw
+    )
+    return root, m, s
+
+
+def test_merge_meta_matches_scratch(merged_vs_scratch):
+    _root, m, s = merged_vs_scratch
+    assert m.n_docs == s.n_docs == 56
+    assert m.avg_dl == s.avg_dl  # exact float: same integer sums, one division
+    assert m.n_postings == s.n_postings
+
+
+def test_merge_blocks_payload_identical_to_scratch(merged_vs_scratch):
+    root, _m, _s = merged_vs_scratch
+    # every column of every block row — doc ranges, counts, BM25 block
+    # max/min, kind (superblocks included), bucket, and the raw varbyte
+    # payload bytes — must coincide with the from-scratch build's
+    a = _table_rows(str(root / "merged" / "blocks"), ["bucket", "kind", "term", "doc_lo"])
+    b = _table_rows(str(root / "scratch" / "blocks"), ["bucket", "kind", "term", "doc_lo"])
+    assert a == b
+
+
+def test_merge_sidecars_identical_to_scratch(merged_vs_scratch):
+    root, _m, _s = merged_vs_scratch
+    for name, sort_cols in (("lexicon", ["term"]), ("doc_stats", ["doc_id"])):
+        a = _table_rows(str(root / "merged" / name), sort_cols)
+        b = _table_rows(str(root / "scratch" / name), sort_cols)
+        assert a == b, name
+
+
+def test_merge_serving_rank_identical(merged_vs_scratch):
+    from websearchengine_spark.operators.wand import BlockIndexReader
+
+    root, _m, _s = merged_vs_scratch
+    rm = BlockIndexReader(str(root / "merged"))
+    rs = BlockIndexReader(str(root / "scratch"))
+    for q in ("the", "spark merge", "the data block", "query run index"):
+        for conj in (True, False):
+            assert rm.search(q, conjunctive=conj, k=10) == rs.search(
+                q, conjunctive=conj, k=10
+            ), (q, conj)
+
+
+def test_merge_with_hot_salting_rank_identical(spark, tmp_path):
+    # above hot_df_threshold the merge cuts salt ranges on the docID axis
+    # while a fresh build cuts them on input-partition ranges — block
+    # layout may differ, but the index must serve identical rankings
+    from websearchengine_spark.operators.wand import BlockIndexReader
+
+    base_t = _tdf(spark, "a", 12)
+    delta_t = _tdf(spark, "b", 6)
+    kw = dict(resume=False, n_buckets=8, num_partitions=4,
+              hot_df_threshold=10, target_group_size=16)
+    build_block_index(base_t, str(tmp_path / "base"), build_id="b", **kw)
+    build_block_index(delta_t, str(tmp_path / "delta"), build_id="d", **kw)
+    merge_block_indexes(
+        spark, str(tmp_path / "base"), str(tmp_path / "delta"),
+        str(tmp_path / "merged"), build_id="m",
+        hot_df_threshold=10, target_group_size=16,
+    )
+    build_block_index(
+        base_t.unionByName(delta_t), str(tmp_path / "scratch"), build_id="s",
+        **kw,
+    )
+    rm = BlockIndexReader(str(tmp_path / "merged"))
+    rs = BlockIndexReader(str(tmp_path / "scratch"))
+    assert rm.n_docs == rs.n_docs and rm.avg_dl == rs.avg_dl
+    for q in ("the", "the data", "spark merge index"):
+        for conj in (True, False):
+            assert rm.search(q, conjunctive=conj, k=10) == rs.search(
+                q, conjunctive=conj, k=10
+            ), (q, conj)
+
+
+def test_merge_texts_sidecar(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    base_t = _tdf(spark, "a", 3)
+    delta_t = _tdf(spark, "b", 2)
+    kw = dict(resume=False, n_buckets=4, num_partitions=2, store_texts=True)
+    build_block_index(base_t, str(tmp_path / "base"), build_id="b", **kw)
+    build_block_index(delta_t, str(tmp_path / "delta"), build_id="d", **kw)
+    merge_block_indexes(
+        spark, str(tmp_path / "base"), str(tmp_path / "delta"),
+        str(tmp_path / "merged"), build_id="m",
+    )
+    merged = pq.read_table(str(tmp_path / "merged" / "texts")).to_pandas()
+    assert len(merged) == 20
+    assert sorted(merged["doc_id"]) == list(range(20))
+    # delta texts live in the shifted id range
+    scratch_texts = pq.read_table(str(tmp_path / "base" / "texts")).to_pandas()
+    base_map = dict(zip(scratch_texts["doc_id"], scratch_texts["text"]))
+    mm = dict(zip(merged["doc_id"], merged["text"]))
+    for d, txt in base_map.items():
+        assert mm[d] == txt
+
+
+def test_compact_incremental_equals_full_compaction(spark, tmp_path):
+    """Stream-staged batches: compact wave a → base, stage wave b, then
+    compact_incremental must equal a full compaction of the whole staging
+    set (arrival order == sort order here, so content identity applies)."""
+    from websearchengine_spark.streaming import ingest
+
+    staging = str(tmp_path / "staging")
+    writer = ingest.make_batch_writer(staging)
+    writer(_tdf(spark, "a", 6), 0)
+    kw = dict(n_buckets=8, num_partitions=4)
+    ingest.compact(spark, staging, str(tmp_path / "base"), resume=False,
+                   build_id="full0", **kw)
+    writer(_tdf(spark, "b", 3), 1)
+
+    m = ingest.compact_incremental(
+        spark, staging, str(tmp_path / "base"), str(tmp_path / "merged"),
+        **kw,
+    )
+    assert m is not None and m.n_docs == 36
+    ingest.compact(spark, staging, str(tmp_path / "scratch"), resume=False,
+                   build_id="full1", **kw)
+    a = _table_rows(str(tmp_path / "merged" / "blocks"),
+                    ["bucket", "kind", "term", "doc_lo"])
+    b = _table_rows(str(tmp_path / "scratch" / "blocks"),
+                    ["bucket", "kind", "term", "doc_lo"])
+    assert a == b
+    # nothing new → no-op
+    assert ingest.compact_incremental(
+        spark, staging, str(tmp_path / "scratch"), str(tmp_path / "m2"), **kw
+    ) is None

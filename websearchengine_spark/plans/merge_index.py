@@ -1,0 +1,336 @@
+"""Incremental index merge: base index + delta index → one merged index.
+
+The analogue of the reference's merge_index pass (merge_index.cpp:394-476
+k-way heap merge of sorted runs) for the case a live deployment actually
+hits: an index already serves queries and a NEW batch of turns arrives.
+Rebuilding from scratch re-tokenizes and re-shuffles the whole corpus;
+this module instead treats the two indexes' posting BLOCKS as pre-sorted
+compressed runs and re-runs only the (term, salt) exchange + block encode:
+
+1. each leaf block row becomes one compressed RUN — the varbyte payloads
+   are reused as-is except the docID head gap, which is rewritten from
+   block-relative (gap from ``doc_lo - 1``) to absolute, with delta docIDs
+   shifted by ``base.n_docs`` (one vectorized decode + re-encode per Arrow
+   batch, no per-row Python);
+2. the runs take the SAME path as a fresh build's runs: hot-term salting
+   (from the merged lexicon's dfs), a (term, salt) repartition + run_pos
+   sort, and the streaming run merger/encoder of plans.block_index — the
+   shuffle is the k-way merge, moving ~1-3 compressed bytes per posting;
+3. lexicon / doc_stats / meta are unioned or recomputed exactly (integer
+   dl sums → the merged ``avg_dl`` equals a from-scratch build's float).
+
+docID semantics: merged ids are ARRIVAL-BLOCKED — base keeps its ids,
+delta docs get ``base.n_docs + delta_id`` — i.e. the reference's
+parse-order docID assignment (create_index.cpp:314), which is exactly what
+the streaming stager (streaming/ingest.py) allocates. When arrival order
+coincides with (conv_id, turn_idx) order — every delta conversation sorts
+after every base conversation — the merged index is CONTENT-IDENTICAL to a
+from-scratch build on the union, including the varbyte payload bytes
+(blocks re-chunk from the concatenated per-term stream, so boundaries,
+superblocks, and gap bytes all coincide; pinned by tests/test_merge_index).
+The one documented divergence: hot-term salt boundaries (df >
+hot_df_threshold) are cut on the docID axis here but on input-partition
+ranges in a fresh build — group contiguity and query results are
+unaffected, only block-boundary placement within those few terms.
+
+Scale shape: the merge never touches raw text, never re-tokenizes, and its
+only wide operation is the run exchange (same volume as a fresh build's
+encode stage minus the tokenize/shuffle of the base corpus — for a 1%
+delta on 10^12 turns that is ~50× less data movement than a rebuild; the
+base's compressed blocks are read once, streamed through one narrow
+mapInArrow, and shuffled at ~1-3 B/posting).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from websearchengine_spark.functions.codec import (
+    concat_binary_column,
+    vb_blocked_arrow,
+    vb_decode,
+)
+from websearchengine_spark.plans.block_index import (
+    BLOCK_SCHEMA,
+    BlockIndexPaths,
+    BuildMetrics,
+    _make_stream_encoder,
+)
+from websearchengine_spark.sources.catalog import (
+    is_table_identifier,
+    read_table,
+    write_table,
+)
+
+RUNS_SCHEMA = (
+    "term string, run_pos long, n long, ids_vb binary, tfs_vb binary, "
+    "dls_vb binary"
+)
+
+
+def _blocks_to_runs(shift: int):
+    """mapInArrow body: leaf block rows → compressed runs with ABSOLUTE
+    docID heads, shifted by ``shift``.
+
+    Only the ids payload is rewritten (its head gap is block-relative);
+    tfs/dls payloads pass through untouched. One vectorized vb_decode +
+    segmented cumsum + re-encode per batch — the same primitives the block
+    encoder itself uses (plans.block_index._make_stream_encoder)."""
+    import pyarrow as pa
+
+    def to_runs(batches):
+        for rb in batches:
+            t = pa.Table.from_batches([rb])
+            if t.num_rows == 0:
+                continue
+            ns = t.column("n").to_numpy().astype(np.int64)
+            los = t.column("doc_lo").to_numpy().astype(np.int64)
+            vals = vb_decode(concat_binary_column(t.column("ids_vb")))
+            n = len(vals)
+            starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            ends = np.concatenate((starts[1:], [n]))
+            # within-block cumsum of gaps; head gap is measured from
+            # (doc_lo - 1), so absolute id = rel + doc_lo - 1
+            c = np.cumsum(vals, dtype=np.uint64)
+            base = (c - vals)[starts]
+            rel = (c - np.repeat(base, ns)).astype(np.int64)
+            ids = rel + np.repeat(los - 1 + shift, ns)
+            u = ids.astype(np.uint64)
+            gaps = np.empty(n, dtype=np.uint64)
+            if n:
+                gaps[0] = u[0]
+                np.subtract(u[1:], u[:-1], out=gaps[1:])
+            gaps[starts] = u[starts]  # absolute heads (encoder gets no
+            #                           pid_offsets — runs are global)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column("term").combine_chunks(),
+                    pa.array(los + shift, type=pa.int64()),  # run_pos: merged
+                    #   doc_lo — unique per term, sorts runs into global
+                    #   docID order (block ranges are disjoint per term)
+                    pa.array(ns, type=pa.int64()),
+                    vb_blocked_arrow(gaps, starts, ends),
+                    t.column("tfs_vb").combine_chunks(),
+                    t.column("dls_vb").combine_chunks(),
+                ],
+                names=["term", "run_pos", "n", "ids_vb", "tfs_vb", "dls_vb"],
+            )
+
+    return to_runs
+
+
+def _leaf_blocks(spark: SparkSession, paths: BlockIndexPaths):
+    read_schema = T.StructType(
+        [f for f in BLOCK_SCHEMA.fields if f.name != "bucket"]
+        + [T.StructField("bucket", T.IntegerType(), True)]  # partition col
+    )
+    return (
+        read_table(spark, paths.blocks, schema=read_schema)
+        .filter(F.col("kind") == 0)
+        .select("term", "doc_lo", "n", "ids_vb", "tfs_vb", "dls_vb")
+    )
+
+
+def merge_block_indexes(
+    spark: SparkSession,
+    base_dir: str,
+    delta_dir: str,
+    out_dir: str,
+    *,
+    build_id: str = "merge0",
+    n_buckets: int | None = None,
+    hot_df_threshold: int = 100_000,
+    target_group_size: int = 50_000,
+    num_partitions: int | None = None,
+) -> BuildMetrics:
+    """Merge two block indexes into ``out_dir``. Base docIDs are kept;
+    delta docIDs shift by ``base.n_docs`` (arrival-blocked numbering — see
+    module docstring). Inputs must be block_format 3 with equal block_size;
+    the two corpora must be disjoint (the streaming stager guarantees it).
+    """
+    t0 = time.time()
+    base_p, delta_p, out_p = (
+        BlockIndexPaths(base_dir),
+        BlockIndexPaths(delta_dir),
+        BlockIndexPaths(out_dir),
+    )
+    base_meta = read_table(spark, base_p.meta).collect()[0].asDict()
+    delta_meta = read_table(spark, delta_p.meta).collect()[0].asDict()
+    for m, d in ((base_meta, base_dir), (delta_meta, delta_dir)):
+        if int(m.get("block_format", 1)) != 3:
+            raise ValueError(f"index at {d} is block_format "
+                             f"{m.get('block_format')}; merge requires 3")
+    if int(base_meta["block_size"]) != int(delta_meta["block_size"]):
+        raise ValueError("block_size mismatch between base and delta")
+    block_size = int(base_meta["block_size"])
+    n_buckets = n_buckets or int(base_meta["n_buckets"])
+    n1, n2 = int(base_meta["n_docs"]), int(delta_meta["n_docs"])
+    n_docs = n1 + n2
+
+    # exact avg_dl: integer dl sums from doc_stats — the same number a
+    # from-scratch build computes (total_dl / n_docs in one float division)
+    base_ds = read_table(spark, base_p.doc_stats)
+    delta_ds = read_table(spark, delta_p.doc_stats)
+    total_dl = int(
+        base_ds.agg(F.sum("term_cnt")).collect()[0][0] or 0
+    ) + int(delta_ds.agg(F.sum("term_cnt")).collect()[0][0] or 0)
+    avg_dl = (total_dl / n_docs) if n_docs else 0.0
+
+    # merged lexicon (disjoint corpora ⇒ dfs/cfs add)
+    lexicon = (
+        read_table(spark, base_p.lexicon)
+        .select("term", "df", "cf")
+        .unionByName(read_table(spark, delta_p.lexicon).select("term", "df", "cf"))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    ).persist()
+
+    # blocks → runs (delta shifted), salted like a fresh build but with the
+    # salt ranges cut on the MERGED docID axis (monotone in doc_lo ⇒ salted
+    # sub-lists stay contiguous disjoint ranges that concatenate in order)
+    runs = _leaf_blocks(spark, base_p).mapInArrow(
+        _blocks_to_runs(0), RUNS_SCHEMA
+    ).unionByName(
+        _leaf_blocks(spark, delta_p).mapInArrow(
+            _blocks_to_runs(n1), RUNS_SCHEMA
+        )
+    )
+    hot_df = lexicon.filter(F.col("df") > hot_df_threshold).select(
+        "term",
+        F.ceil(F.col("df") / F.lit(target_group_size)).cast("int").alias("n_salt"),
+    )
+    salted = runs.join(F.broadcast(hot_df), "term", "left").withColumn(
+        "salt",
+        (
+            F.col("run_pos")
+            * F.coalesce(F.col("n_salt"), F.lit(1))
+            / F.lit(max(n_docs, 1))
+        ).cast("int"),
+    ).select("term", "salt", "run_pos", "n", "ids_vb", "tfs_vb", "dls_vb")
+
+    n_exch = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    blocks = (
+        salted.repartition(n_exch, "term", "salt")
+        .sortWithinPartitions("term", "salt", "run_pos")
+        .mapInArrow(
+            _make_stream_encoder(avg_dl, block_size, n_buckets, None),
+            BLOCK_SCHEMA,
+        )
+    )
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev_batch = spark.conf.get(batch_key, "10000")
+    spark.conf.set(batch_key, str(1 << 15))
+    try:
+        write_table(
+            blocks.repartition("bucket").sortWithinPartitions(
+                "kind", "term", "doc_lo"
+            ),
+            out_p.blocks,
+            mode="overwrite",
+            partition_by=("bucket",),
+            options={"parquet.block.size": 1 << 20},
+        )
+    finally:
+        spark.conf.set(batch_key, prev_batch)
+
+    # sidecar tables (same layouts as build_block_index)
+    write_table(
+        lexicon.withColumn(
+            "bucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
+        )
+        .repartition("bucket")
+        .sortWithinPartitions("term"),
+        out_p.lexicon,
+        mode="overwrite",
+        partition_by=("bucket",),
+        options={"parquet.block.size": 256 << 10},
+    )
+    write_table(
+        base_ds.unionByName(
+            delta_ds.withColumn("doc_id", F.col("doc_id") + F.lit(n1))
+        ),
+        out_p.doc_stats,
+        mode="overwrite",
+    )
+    fingerprint = f"{n_docs}:{avg_dl:.6f}"
+    write_table(
+        spark.createDataFrame(
+            [(build_id, n_docs, avg_dl, block_size, n_buckets, fingerprint, 3)],
+            "build_id string, n_docs long, avg_dl double, block_size int, "
+            "n_buckets int, fingerprint string, block_format int",
+        ),
+        out_p.meta,
+        mode="overwrite",
+    )
+    # texts sidecar: merged when both inputs carry one (filesystem layouts;
+    # row groups stay contiguous docID ranges because the union preserves
+    # each side's clustering and delta ids all sort after base ids)
+    if not is_table_identifier(out_dir) and (
+        os.path.isdir(base_p.texts) and os.path.isdir(delta_p.texts)
+    ):
+        write_table(
+            read_table(spark, base_p.texts).unionByName(
+                read_table(spark, delta_p.texts).withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(n1)
+                )
+            ),
+            out_p.texts,
+            mode="overwrite",
+            options={"parquet.block.size": 256 << 10},
+        )
+
+    # per-bucket lineage + metrics (merge provenance), same accounting shape
+    # as a fresh build's checkpoints: column-pruned stats scan, no payload read
+    read_schema = T.StructType(
+        [f for f in BLOCK_SCHEMA.fields if f.name != "bucket"]
+        + [T.StructField("bucket", T.IntegerType(), True)]
+    )
+    wall_s = time.time() - t0
+    per_bucket = {
+        r["bucket"]: r
+        for r in read_table(spark, out_p.blocks, schema=read_schema)
+        .filter(F.col("kind") == 0)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n_postings"), F.count(F.lit(1)).alias("n_blocks"))
+        .collect()
+    }
+    now = time.time()
+    cp_rows = [
+        (
+            build_id, int(bkt), "done", fingerprint,
+            int(r["n_postings"]), int(r["n_blocks"]), 0,
+            float(wall_s),
+            float(int(r["n_postings"]) / wall_s) if wall_s > 0 else 0.0,
+            float(now),
+        )
+        for bkt, r in per_bucket.items()
+    ]
+    if cp_rows:
+        write_table(
+            spark.createDataFrame(
+                cp_rows,
+                "build_id string, bucket int, status string, fingerprint string, "
+                "n_postings long, n_blocks long, bytes_compressed long, "
+                "wall_s double, postings_per_sec double, ts double",
+            ),
+            out_p.checkpoints,
+            mode="append",
+        )
+    lexicon.unpersist()
+    n_postings = sum(int(r["n_postings"]) for r in per_bucket.values())
+    return BuildMetrics(
+        build_id=build_id,
+        n_docs=n_docs,
+        avg_dl=avg_dl,
+        n_postings=n_postings,
+        n_buckets_built=len(per_bucket),
+        n_buckets_skipped=0,
+        wall_s=wall_s,
+        postings_per_sec=(n_postings / wall_s) if wall_s > 0 else 0.0,
+    )

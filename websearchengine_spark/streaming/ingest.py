@@ -161,3 +161,70 @@ def compact(spark: SparkSession, staging_dir: str, index_dir: str, **kwargs):
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )
     return build_block_index(staged, index_dir, **kwargs)
+
+
+def compact_incremental(
+    spark: SparkSession,
+    staging_dir: str,
+    base_index_dir: str,
+    out_index_dir: str,
+    work_dir: str | None = None,
+    **kwargs,
+):
+    """Absorb staged batches NEWER than an existing index without a full
+    rebuild: build a small delta index over just the new batches, then
+    merge base + delta (plans.merge_index — the reference's merge_index.cpp
+    pass over an existing index + staged runs).
+
+    "New" is derived from the id space, not extra state: the stager
+    allocates dense arrival-ordered docIDs, so a base index covering
+    ``n_docs`` turns was compacted from exactly the batches with
+    ``id_lo < n_docs`` — every batch with ``id_lo >= n_docs`` is new.
+
+    Merged docIDs are arrival-blocked (base ids kept; delta docs numbered
+    ``base.n_docs + rank within the delta set``). When arrival order
+    coincides with (conv_id, turn_idx) order — each new batch's
+    conversations sort after all earlier ones — the result is
+    content-identical to a from-scratch compaction of the full staging set
+    (pinned in tests/test_merge_index.py). Returns None when no new batch
+    exists; otherwise the merge's BuildMetrics."""
+    import shutil
+    import tempfile
+
+    from websearchengine_spark.plans.block_index import build_block_index
+    from websearchengine_spark.plans.merge_index import merge_block_indexes
+    from websearchengine_spark.sources.catalog import read_table
+
+    from websearchengine_spark.plans.block_index import BlockIndexPaths
+
+    base_n = int(
+        read_table(spark, BlockIndexPaths(base_index_dir).meta)
+        .collect()[0]["n_docs"]
+    )
+    meta = spark.read.parquet(os.path.join(staging_dir, "_batch_meta"))
+    new_batches = [
+        int(r["batch_id"])
+        for r in meta.filter(F.col("id_lo") >= base_n).collect()
+    ]
+    if not new_batches:
+        return None
+    delta = (
+        read_staged(spark, staging_dir)
+        .filter(F.col("batch").isin(new_batches))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+    own_work = work_dir is None
+    if own_work:
+        work_dir = tempfile.mkdtemp(prefix="wse_delta_idx_")
+    try:
+        delta_dir = os.path.join(work_dir, "delta")
+        build_block_index(
+            delta, delta_dir, build_id=f"{kwargs.pop('build_id', 'inc')}-delta",
+            resume=False, **kwargs,
+        )
+        return merge_block_indexes(
+            spark, base_index_dir, delta_dir, out_index_dir,
+        )
+    finally:
+        if own_work:
+            shutil.rmtree(work_dir, ignore_errors=True)
