@@ -88,6 +88,44 @@ def _serving_sanity(out_dir: str) -> dict:
     # OOV + conjunctive-with-OOV semantics hold at scale
     assert r.search("zzqqxx9", conjunctive=False, k=5) == []
     assert len(r.search("zzqqxx9 the", conjunctive=True, k=5)) == 5
+
+    # ---- within-query parallel decode A/B (VERDICT r4 #2) ---------------
+    # the dense cold regime is single-Python-process decode-bound (this
+    # corpus: every term df ≈ 0.8·N, disjunctions unprunable by design);
+    # doc-range sharding across a process pool must cut it ~Nx with EXACT
+    # result equality (each doc scored whole in one shard, same float tree)
+    t0 = time.time()
+    disj_serial = r.search("the data", conjunctive=False, k=10)
+    stats["disj_serial_ms"] = round((time.time() - t0) * 1000.0, 1)
+    workers = int(os.environ.get("SPARK_GRAFT_SMOKE_PWORKERS", "8"))
+    par = BlockIndexReader(out_dir, parallel_workers=workers,
+                           parallel_df_threshold=1)
+    try:
+        plat1, plat2 = [], []
+        for q in queries:
+            t0 = time.time()
+            pres = par.search(q, conjunctive=True, k=10)
+            plat1.append(round((time.time() - t0) * 1000.0, 1))
+            assert pres == r.search(q, conjunctive=True, k=10), q
+            assert par.last_parallel, q
+            # k=11 re-times the same decode work past the result cache:
+            # steady-state latency once the pool + footer scans are warm
+            t0 = time.time()
+            par.search(q, conjunctive=True, k=11)
+            plat2.append(round((time.time() - t0) * 1000.0, 1))
+        stats["parallel_workers"] = workers
+        stats["parallel_cold_ms"] = plat1   # first query carries pool spawn
+        stats["parallel_warm_ms"] = plat2
+        t0 = time.time()
+        disj_par = par.search("the data", conjunctive=False, k=10)
+        stats["disj_parallel_ms"] = round((time.time() - t0) * 1000.0, 1)
+        assert disj_par == disj_serial
+        assert par.last_parallel
+        stats["disj_parallel_speedup"] = round(
+            stats["disj_serial_ms"] / max(stats["disj_parallel_ms"], 1e-9), 2
+        )
+    finally:
+        par.close()
     return stats
 
 

@@ -38,20 +38,31 @@ def index_dir(spark, fixture, tmp_path_factory):
     return out
 
 
-@pytest.fixture(scope="module", params=["taat", "taat_sparse", "wand"])
+@pytest.fixture(
+    scope="module", params=["taat", "taat_sparse", "taat_parallel", "wand"]
+)
 def reader(index_dir, request):
     """All serving paths must be rank-identical to the oracle:
     - taat: vectorized term-at-a-time, flat dense accumulator;
     - taat_sparse: same scorer with the candidate-compressed accumulator
       (dense_docs_max=0 → O(candidates) memory, the 10^12-doc scale path);
+    - taat_parallel: doc-range-sharded TAAT across a 2-worker process pool
+      (parallel_df_threshold=0 forces every TAAT-routed query through the
+      pool — the dense-cold-query scale path);
     - wand: block-at-a-time block-max WAND for disjunctive (taat_threshold=0
       routes everything there; dense_docs_max=0 disables the TAAT bail-out
       so pruning logic is fully exercised) + galloping conjunctive."""
     if request.param == "taat":
-        return BlockIndexReader(index_dir)
-    if request.param == "taat_sparse":
-        return BlockIndexReader(index_dir, dense_docs_max=0)
-    return BlockIndexReader(index_dir, taat_threshold=0, dense_docs_max=0)
+        r = BlockIndexReader(index_dir)
+    elif request.param == "taat_sparse":
+        r = BlockIndexReader(index_dir, dense_docs_max=0)
+    elif request.param == "taat_parallel":
+        r = BlockIndexReader(index_dir, parallel_workers=2,
+                             parallel_df_threshold=0)
+    else:
+        r = BlockIndexReader(index_dir, taat_threshold=0, dense_docs_max=0)
+    yield r
+    r.close()
 
 
 @pytest.mark.parametrize("conjunctive", [True, False], ids=["conj", "disj"])
@@ -145,6 +156,38 @@ def test_result_cache_hit(reader, oracle):
     r1 = reader.search("the data", conjunctive=False, k=10)
     r2 = reader.search("the data", conjunctive=False, k=10)
     assert r1 is r2  # LRU returns the cached object
+
+
+def test_parallel_taat_bitwise_equal_and_threshold_routed(index_dir, fixture):
+    """Within-query parallel decode (doc-range-sharded TAAT): every result —
+    ranks, docs, AND score floats — must equal the single-process reader
+    BITWISE (each doc's score is computed whole in exactly one shard with
+    the identical float expression and summation order; the merge reapplies
+    the one shared comparator). Also pins the routing: the pool engages only
+    at/above parallel_df_threshold, and only on TAAT-routed queries."""
+    serial = BlockIndexReader(index_dir)
+    par = BlockIndexReader(index_dir, parallel_workers=3,
+                           parallel_df_threshold=0)
+    gated = BlockIndexReader(index_dir, parallel_workers=3,
+                             parallel_df_threshold=1 << 60)
+    try:
+        queries = list(fixture.queries["query"]) + [
+            "the", "the data value", "nosuchterm the"
+        ]
+        engaged = 0
+        for q in queries:
+            for conj in (True, False):
+                a = serial.search(q, conjunctive=conj, k=10)
+                b = par.search(q, conjunctive=conj, k=10)
+                assert a == b, (q, conj)  # exact — floats included
+                engaged += par.last_parallel
+                g = gated.search(q, conjunctive=conj, k=10)
+                assert a == g, (q, conj)
+                assert not gated.last_parallel  # threshold keeps it serial
+        assert engaged > 0  # the pool actually served TAAT-routed queries
+    finally:
+        par.close()
+        gated.close()
 
 
 def test_meta_matches_oracle(reader, oracle):

@@ -386,7 +386,8 @@ class BlockIndexReader:
 
     def __init__(self, root: str, result_cache: int = 1000, posting_cache: int = 4096,
                  taat_threshold: int = 5_000_000, dense_docs_max: int = 1 << 26,
-                 rg_cache: int = 128):
+                 rg_cache: int = 128, parallel_workers: int = 0,
+                 parallel_df_threshold: int = 20_000_000):
         self.paths = BlockIndexPaths(root)
         meta = pq.read_table(self.paths.meta).to_pylist()[0]
         fmt = int(meta.get("block_format", 1))
@@ -428,6 +429,21 @@ class BlockIndexReader:
         # above it, block-max WAND can skip whole blocks without decoding
         self.taat_threshold = taat_threshold
         self.dense_docs_max = dense_docs_max
+        # within-query parallel decode (dense cold queries): when a query's
+        # total df reaches parallel_df_threshold and parallel_workers > 0,
+        # the TAAT scorer shards the docID axis across a process pool —
+        # each worker decodes + scores its contiguous doc range against its
+        # own reader and returns a local exact top-k; the merge is exact
+        # because every doc's score is complete within one shard (posting
+        # lists are doc-sorted, shards are doc ranges). The 50M-doc smoke
+        # measured a single-process dense disjunction at 62-71 s — pure
+        # decode, Python-process-bound — which batch eval sidesteps by
+        # distributing ACROSS queries; this is the within-ONE-query analogue
+        # (the reference cannot do this at all: one query = one thread).
+        self.parallel_workers = parallel_workers
+        self.parallel_df_threshold = parallel_df_threshold
+        self._pool = None  # spawned lazily; see _ensure_pool / close
+        self.last_parallel = False  # instrumentation for tests/bench
         # terms with at most this many superblocks are leaf-prefetched WHOLE
         # in the first read that touches them (≤ 8·16384 ≈ 128k postings —
         # a bounded, scale-safe eager read that collapses the lazy per-
@@ -698,40 +714,52 @@ class BlockIndexReader:
                     vals[t] = None
                 return {t: v for t in terms if (v := vals.get(t)) is not None}
             self.leaf_rows_fetched += tbl.num_rows
-            tcol = tbl.column("term").to_pylist()
-            lo = tbl.column("doc_lo").to_numpy()
-            ns_all = tbl.column("n").to_numpy()
-            ids_vb = tbl.column("ids_vb").to_pylist()
-            tfs_vb = tbl.column("tfs_vb").to_pylist()
-            dls_vb = tbl.column("dls_vb").to_pylist()
-            per: dict[str, list[int]] = {t: [] for t in missing}
-            for i, t in enumerate(tcol):
-                per[t].append(i)
+            decoded = self._decode_posting_table(tbl, missing)
             for t in missing:
-                idxs = sorted(per.get(t, []), key=lambda i: lo[i])
-                if not idxs:
-                    self._posting_cache.put(("arr", t), None)
-                    vals[t] = None
-                    continue
-                ns = ns_all[idxs].astype(np.int64)
-                starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
-                raw = vb_decode(b"".join(ids_vb[i] for i in idxs))
-                cs = np.cumsum(raw, dtype=np.uint64)
-                # block-head gaps are measured from (doc_lo - 1), so the
-                # per-block offset folds the metadata base back in; uint64
-                # wraparound in the intermediate is exact under mod-2^64
-                offsets = (
-                    cs[starts] - raw[starts]
-                    + np.uint64(1)
-                    - lo[idxs].astype(np.uint64)
-                )
-                ids = (cs - np.repeat(offsets, ns)).astype(np.int64)
-                tfs = vb_decode(b"".join(tfs_vb[i] for i in idxs)).astype(np.float64)
-                dls = vb_decode(b"".join(dls_vb[i] for i in idxs)).astype(np.float64)
-                v = (ids, tfs, dls)
+                v = decoded.get(t)
                 self._posting_cache.put(("arr", t), v)
                 vals[t] = v
         return {t: v for t in terms if (v := vals.get(t)) is not None}
+
+    @staticmethod
+    def _decode_posting_table(tbl: pa.Table, terms: list[str]) -> dict[str, tuple]:
+        """term → decoded (ids:int64, tfs:f64, dls:f64) posting arrays from
+        leaf block rows (columns term, doc_lo, n, ids_vb, tfs_vb, dls_vb).
+        Columnar: one segmented vb_decode per column per term, no per-block
+        Python objects. No caching — callers cache (or are one-shot range
+        workers). Terms with no rows are simply absent from the result."""
+        out: dict[str, tuple] = {}
+        tcol = tbl.column("term").to_pylist()
+        lo = tbl.column("doc_lo").to_numpy()
+        ns_all = tbl.column("n").to_numpy()
+        ids_vb = tbl.column("ids_vb").to_pylist()
+        tfs_vb = tbl.column("tfs_vb").to_pylist()
+        dls_vb = tbl.column("dls_vb").to_pylist()
+        per: dict[str, list[int]] = {t: [] for t in terms}
+        for i, t in enumerate(tcol):
+            if t in per:
+                per[t].append(i)
+        for t in terms:
+            idxs = sorted(per.get(t, []), key=lambda i: lo[i])
+            if not idxs:
+                continue
+            ns = ns_all[idxs].astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            raw = vb_decode(b"".join(ids_vb[i] for i in idxs))
+            cs = np.cumsum(raw, dtype=np.uint64)
+            # block-head gaps are measured from (doc_lo - 1), so the
+            # per-block offset folds the metadata base back in; uint64
+            # wraparound in the intermediate is exact under mod-2^64
+            offsets = (
+                cs[starts] - raw[starts]
+                + np.uint64(1)
+                - lo[idxs].astype(np.uint64)
+            )
+            ids = (cs - np.repeat(offsets, ns)).astype(np.int64)
+            tfs = vb_decode(b"".join(tfs_vb[i] for i in idxs)).astype(np.float64)
+            dls = vb_decode(b"".join(dls_vb[i] for i in idxs)).astype(np.float64)
+            out[t] = (ids, tfs, dls)
+        return out
 
     def _cursors(self, terms: list[str]) -> list[TermCursor]:
         """Two-level cursors with lead-driven prefetch. The galloping
@@ -837,12 +865,13 @@ class BlockIndexReader:
             path = "taat"
         else:
             path = "wand"
+        self.last_parallel = False
         if path == "taat":
-            out = self._search_taat(present, lex, k, conjunctive)
+            out = self._taat_route(present, lex, k, conjunctive, total_df)
         elif path == "wand":
             out = self._search_wand_blocks(present, lex, k)
             if out is None:  # block bounds don't prune → vectorized TAAT
-                out = self._search_taat(present, lex, k, conjunctive=False)
+                out = self._taat_route(present, lex, k, False, total_df)
         else:
             cursors = self._cursors(present)
             if not cursors:
@@ -900,8 +929,18 @@ class BlockIndexReader:
             if conjunctive:
                 m = cnt == n_terms
                 cand, s = cand[m], s[m]
+        cand, s = self._topk_arrays(cand, s, k)
+        return [
+            (i + 1, int(d), float(v))
+            for i, (d, v) in enumerate(zip(cand.tolist(), s.tolist()))
+        ]
+
+    @staticmethod
+    def _topk_arrays(cand: np.ndarray, s: np.ndarray, k: int):
+        """Exact (score DESC, doc_id ASC) top-k over parallel arrays — the
+        one comparator every scorer and the shard merge share."""
         if len(cand) == 0:
-            return []
+            return cand, s
         kk = min(k, len(cand))
         if len(cand) > 4 * k + 64:
             # shrink to the top plateau before the exact tie-aware sort:
@@ -911,7 +950,131 @@ class BlockIndexReader:
             keep = s >= kth
             cand, s = cand[keep], s[keep]
         sel = np.lexsort((cand, -s))[:kk]
-        return [(i + 1, int(cand[j]), float(s[j])) for i, j in enumerate(sel)]
+        return cand[sel], s[sel]
+
+    # ---- within-query parallel decode (dense-term cold queries) -----------
+    def _taat_route(self, present, lex, k, conjunctive, total_df):
+        if (
+            self.parallel_workers > 0
+            and total_df >= self.parallel_df_threshold
+            and self.n_docs > 1
+        ):
+            self.last_parallel = True
+            return self._search_taat_parallel(present, lex, k, conjunctive)
+        return self._search_taat(present, lex, k, conjunctive)
+
+    def _ensure_pool(self):
+        """FORK worker pool (not spawn/forkserver): those two re-execute the
+        caller's main script in every worker (spawn.prepare →
+        _fixup_main_from_path), so a library entry point would fork-bomb any
+        caller without a ``__main__`` guard. Fork is the pattern this stack
+        already relies on (Spark's Python worker daemon, bench controls)
+        and pyarrow repairs its thread pools in the child via its atfork
+        handlers. Inherited parent state — reader locks included — is never
+        touched: the initializer builds each worker its OWN reader, and the
+        worker function only ever references that."""
+        if self._pool is None:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(
+                self.parallel_workers,
+                initializer=_parallel_worker_init,
+                initargs=(self.paths.root,),
+            )
+        return self._pool
+
+    def close(self):
+        """Release the parallel-decode pool (no-op without one). Readers
+        without parallel_workers hold no process resources."""
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def _search_taat_parallel(self, present, lex, k, conjunctive):
+        """Doc-range-sharded TAAT: split [0, n_docs) into 2·workers
+        contiguous ranges, score each in a pool worker, merge local top-ks.
+
+        Exactness: posting lists are doc-sorted, so every doc's postings —
+        hence its complete score, summed in the same sorted-term float
+        order — live in exactly one shard; a global top-k doc is therefore
+        in its shard's top-k, and the merge reapplies the one shared
+        comparator. Rank- and score-identical to the single-process TAAT
+        by construction (pinned by the parametrized reader fixtures)."""
+        pool = self._ensure_pool()
+        n_shards = min(2 * self.parallel_workers, self.n_docs)
+        bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
+        args = [
+            (list(present), k, conjunctive, int(lo), int(hi))
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+            if hi > lo
+        ]
+        parts = pool.map(_parallel_taat_worker, args)
+        docs = [p[0] for p in parts if len(p[0])]
+        if not docs:
+            return []
+        cand = np.concatenate(docs)
+        s = np.concatenate([p[1] for p in parts if len(p[0])])
+        cand, s = self._topk_arrays(cand, s, k)
+        return [
+            (i + 1, int(d), float(v))
+            for i, (d, v) in enumerate(zip(cand.tolist(), s.tolist()))
+        ]
+
+    def _taat_range_topk(self, terms, k, conjunctive, doc_lo, doc_hi):
+        """One shard's exact TAAT top-k over docIDs in [doc_lo, doc_hi):
+        range-pruned leaf read (row groups outside the range never decode —
+        the doc_lo statistics prune within single-term groups), candidate-
+        compressed accumulation in sorted-term order, shared comparator.
+        Returns (docs:int64[], scores:f64[]) ready for the exact merge."""
+        lex = self.lexicon_rows(terms)
+        present = [t for t in terms if t in lex]
+        empty = (np.empty(0, dtype=np.int64), np.empty(0))
+        if not present:
+            return empty
+        tbl = self._pruned_read(
+            self._block_rgs, self.paths.blocks, present,
+            ["kind", "term", "doc_lo", "doc_hi", "n", "ids_vb", "tfs_vb", "dls_vb"],
+            kind=0,
+            ranges_by_term={t: [(doc_lo, doc_hi - 1)] for t in present},
+        )
+        if tbl is None:
+            return empty
+        mask = pc.and_(
+            pc.less_equal(tbl.column("doc_lo"), doc_hi - 1),
+            pc.greater_equal(tbl.column("doc_hi"), doc_lo),
+        )
+        tbl = tbl.filter(mask)
+        if tbl.num_rows == 0:
+            return empty
+        arrays = self._decode_posting_table(tbl, present)
+        per = []
+        for t in sorted(arrays):  # sorted-term order = oracle summation order
+            ids, tfs, dls = arrays[t]
+            a = int(np.searchsorted(ids, doc_lo, side="left"))
+            b = int(np.searchsorted(ids, doc_hi, side="left"))
+            if a == b:
+                continue
+            ids, tfs, dls = ids[a:b], tfs[a:b], dls[a:b]
+            idf = self._idf(int(lex[t]))
+            tf_c = tfs * (K1 + 1) / (tfs + K1 * (1 - B + B * dls / self.avg_dl))
+            per.append((ids, idf * tf_c))
+        if not per:
+            return empty
+        cand = np.unique(np.concatenate([ids for ids, _ in per]))
+        s = np.zeros(len(cand))
+        cnt = np.zeros(len(cand), dtype=np.int16)
+        for ids, contrib in per:
+            ix = np.searchsorted(cand, ids)
+            s[ix] += contrib
+            cnt[ix] += 1
+        if conjunctive:
+            # a doc must carry ALL present terms GLOBALLY; terms with no
+            # postings in this shard make that impossible for its docs
+            m = cnt == len(present) if len(per) == len(present) else cnt < 0
+            cand, s = cand[m], s[m]
+        return self._topk_arrays(cand, s, k)
 
     def _search_wand_blocks(self, present, lex, k):
         """Two-level block-max WAND (disjunctive): superblock pruning first,
@@ -1333,3 +1496,23 @@ class BlockIndexReader:
                     total += 1.0 / rank
                     break
         return total / cnt if cnt else 0.0
+
+
+# ---- parallel-decode pool workers (module-level: spawn pickles by name) ----
+_PW_READER: BlockIndexReader | None = None
+
+
+def _parallel_worker_init(root: str) -> None:
+    """Per-worker reader: pyarrow-only, small caches (the worker serves one
+    doc-range slice of one query at a time; its row-group cache still pays
+    off across the queries of a session). parallel_workers stays 0 here —
+    workers never recurse into pools."""
+    global _PW_READER
+    _PW_READER = BlockIndexReader(
+        root, result_cache=8, posting_cache=1024, rg_cache=32
+    )
+
+
+def _parallel_taat_worker(args):
+    terms, k, conjunctive, doc_lo, doc_hi = args
+    return _PW_READER._taat_range_topk(terms, k, conjunctive, doc_lo, doc_hi)
