@@ -65,6 +65,9 @@ def main(argv=None) -> int:
     p.add_argument("--n-results", type=int, default=10)
     p.add_argument("--snippet-len", type=int, default=120)
     p.add_argument("--query")
+    p.add_argument("--parallel-workers", type=int, default=0,
+                   help="process-pool size for within-query parallel decode "
+                        "of dense cold queries (0 = single-process)")
     args = p.parse_args(argv)
 
     from websearchengine_spark.operators.query_api import QueryType
@@ -77,6 +80,7 @@ def main(argv=None) -> int:
         args.index,
         transcripts_path=args.transcripts,
         embeddings_path=args.embeddings,
+        parallel_workers=args.parallel_workers,
     )
 
     def run(q: str) -> None:

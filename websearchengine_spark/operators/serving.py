@@ -48,12 +48,20 @@ class ServingEngine:
         pair_scorer=None,
         result_cache: int = 1000,
         candidates_k: int = 32,
+        parallel_workers: int = 0,
     ):
         import os
 
         from websearchengine_spark.plans.block_index import BlockIndexPaths
 
-        self.reader = BlockIndexReader(index_dir, result_cache=result_cache)
+        # parallel_workers > 0 enables the within-query doc-range-sharded
+        # decode for dense cold queries (operators/wand.py; rank- and
+        # score-identical by construction, opt-in because a pool only pays
+        # off when single queries are decode-bound — ~10^7+ total df)
+        self.reader = BlockIndexReader(
+            index_dir, result_cache=result_cache,
+            parallel_workers=parallel_workers,
+        )
         self.snippets = None
         # prefer the index's doc_id-clustered text sidecar (store_texts=True
         # builds) — the page-table seek; fall back to the raw transcripts.
