@@ -14,6 +14,10 @@ are lock-guarded, tests pin 16-thread rank-identity):
   snippet_len <= 0 / n_results <= 0 / any exception → HTTP 400 with
   {"message": ...} (report_error, main.cpp:845-851); query_type is the
   reference's enum int (0 conj, 1 disj, 2 semantic, 3 rerank).
+- Optional ``"highlight": true`` in the POST body applies the browser-side
+  P14 emphasis (index.html:93-104, ported in functions/highlight.py) to
+  each result's snippet SERVER-side; absent/false keeps the reference's
+  exact response (the reference never highlights on the server).
 
 Run:  python scripts/serve_http.py --index IDX [--port 8080]
       [--transcripts T.parquet] [--embeddings E.parquet]
@@ -113,6 +117,28 @@ def make_handler(engine):
                     n_results=n_results,
                     snippet_len=snippet_len,
                 )
+                if post.get("highlight") and result.get("data"):
+                    from websearchengine_spark.functions.highlight import (
+                        highlight_snippet,
+                    )
+
+                    # copy, never mutate: `result` may live in the engine's
+                    # LRU result cache (C1) — in-place edits would poison it
+                    result = dict(result)
+                    result["data"] = [
+                        # only rewrite a snippet that exists — an index with
+                        # no texts sidecar yields snippet-less items and the
+                        # response shape must not change
+                        {
+                            **item,
+                            "snippet": highlight_snippet(
+                                str(item["snippet"]), query
+                            ),
+                        }
+                        if "snippet" in item
+                        else item
+                        for item in result["data"]
+                    ]
                 self._send(
                     200,
                     json.dumps(result, default=_json_default),

@@ -109,6 +109,28 @@ def test_post_validation_errors_reference_shape(http_env):
     assert ei.value.code == 404
 
 
+def test_post_highlight_opt_in(http_env):
+    """P14 server-side: highlight=true bolds query terms in snippets exactly
+    as functions/highlight.py (the index.html:93-104 port); the cached
+    un-highlighted result must stay pristine (no cache poisoning)."""
+    from websearchengine_spark.functions.highlight import highlight_snippet
+
+    body = {"query": "the data", "query_type": 1,
+            "n_results": 5, "snippet_len": 60}
+    _, plain_before = _post(http_env["url"], body)
+    _, hl = _post(http_env["url"], {**body, "highlight": True})
+    assert hl["data"], "fixture query should match"
+    assert [d["snippet"] for d in hl["data"]] == [
+        highlight_snippet(d["snippet"], "the data") for d in plain_before["data"]
+    ]
+    assert any("<b>" in d["snippet"] for d in hl["data"])
+    # a plain request AFTER a highlighted one (cache-hit path) is unchanged
+    _, plain_after = _post(http_env["url"], body)
+    assert [d["snippet"] for d in plain_after["data"]] == [
+        d["snippet"] for d in plain_before["data"]
+    ]
+
+
 def test_concurrent_posts_consistent(http_env):
     from concurrent.futures import ThreadPoolExecutor
 
