@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -188,6 +189,120 @@ def test_parallel_taat_bitwise_equal_and_threshold_routed(index_dir, fixture):
     finally:
         par.close()
         gated.close()
+
+
+def test_parallel_pool_init_is_race_free(index_dir):
+    """Concurrent cold searches on one reader must share ONE worker pool —
+    an unguarded lazy init forks a pool per racing thread and leaks the
+    losers' worker processes (the ThreadingHTTPServer pattern)."""
+    import threading
+
+    r = BlockIndexReader(index_dir, parallel_workers=2)
+    try:
+        pools = []
+        barrier = threading.Barrier(8)
+
+        def grab():
+            barrier.wait()
+            pools.append(r._ensure_pool())
+
+        threads = [threading.Thread(target=grab) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(pools) == 8
+        assert all(p is pools[0] for p in pools)
+    finally:
+        r.close()
+
+
+def test_rg_pruning_keeps_block_straddling_range_lo():
+    """Regression: a shard-range read must return the block that STRADDLES
+    the range's lower bound even when that block is the last row of its
+    parquet row group (every doc_lo in the group < lo, so doc_lo-only
+    statistics would prune the whole group — observed dropping the block's
+    postings in [lo, block doc_hi] from the parallel-decode shard). The
+    pruning must consult max(doc_hi) for the lower side."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from websearchengine_spark.operators.wand import _BucketRGs
+
+    with tempfile.TemporaryDirectory() as d:
+        tbl = pa.table({
+            "kind": pa.array([0] * 5, type=pa.int32()),
+            "term": ["t"] * 5,
+            "doc_lo": pa.array([0, 10, 20, 30, 40], type=pa.int64()),
+            "doc_hi": pa.array([9, 19, 29, 39, 49], type=pa.int64()),
+            "n": pa.array([10] * 5, type=pa.int64()),
+        })
+        # row groups: {0,10}, {20,30}, {40} — block [10,19] is the LAST row
+        # of group 0, whose max doc_lo (10) is below the queried lo (15)
+        pq.write_table(tbl, f"{d}/part-0.parquet", row_group_size=2)
+        rgs = _BucketRGs(d)
+        got = rgs.read(
+            ["term", "doc_lo", "doc_hi"],
+            kind=0,
+            terms=["t"],
+            ranges_by_term={"t": [(15, 44)]},
+        )
+        los = sorted(got.column("doc_lo").to_pylist())
+        assert 10 in los, f"straddling block pruned away: {los}"
+        # the fully-below block [0,9] may legitimately be pruned
+        assert set(los) >= {10, 20, 30, 40}
+
+
+def test_shard_cuts_inside_blocks_with_tiny_row_groups(index_dir, fixture):
+    """End-to-end shard identity under adversarial row-group placement:
+    rewrite every bucket file with 2-row row groups (so a term's blocks
+    span many groups and MOST shard cuts land next to a group boundary),
+    then assert that for a sweep of two-shard cuts the merged shard top-k
+    equals the single-process TAAT bitwise."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    tmp = index_dir + "_rg2"
+    if not os.path.isdir(tmp):
+        shutil.copytree(index_dir, tmp)
+        broot = os.path.join(tmp, "blocks")
+        for bdir in os.listdir(broot):
+            full = os.path.join(broot, bdir)
+            if not os.path.isdir(full):
+                continue
+            for f in os.listdir(full):
+                if f.endswith(".parquet"):
+                    p = os.path.join(full, f)
+                    t = pq.read_table(p)
+                    pq.write_table(t, p, row_group_size=2)
+    r = BlockIndexReader(tmp)
+    try:
+        for q in list(fixture.queries["query"])[:6] + ["the data value"]:
+            terms = sorted(set(q.lower().split()))
+            lex = r.lexicon_rows(terms)
+            present = [t for t in terms if t in lex]
+            if not present:
+                continue
+            for conj in (True, False):
+                want = r._search_taat(present, lex, 1000, conj)
+                n = r.n_docs
+                for cut in range(1, n, max(1, n // 13)):
+                    d0, s0 = r._taat_range_topk(present, 1000, conj, 0, cut)
+                    d1, s1 = r._taat_range_topk(present, 1000, conj, cut, n)
+                    cand = np.concatenate([d0, d1])
+                    sc = np.concatenate([s0, s1])
+                    cand, sc = r._topk_arrays(cand, sc, 1000)
+                    got = [
+                        (i + 1, int(d), float(v))
+                        for i, (d, v) in enumerate(zip(cand.tolist(),
+                                                       sc.tolist()))
+                    ]
+                    assert got == want, (q, conj, cut)
+    finally:
+        r.close()
 
 
 def test_meta_matches_oracle(reader, oracle):

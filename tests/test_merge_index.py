@@ -194,3 +194,33 @@ def test_compact_incremental_equals_full_compaction(spark, tmp_path):
     assert ingest.compact_incremental(
         spark, staging, str(tmp_path / "scratch"), str(tmp_path / "m2"), **kw
     ) is None
+
+
+def test_compact_incremental_inherits_base_build_params(spark, tmp_path):
+    """Regression: a base built with non-default block_size must remain
+    incrementally compactable — the delta build inherits the base's
+    physical parameters from its meta (defaults previously tripped the
+    merge's block_size-mismatch guard, permanently forcing full rebuilds),
+    and caller kwargs (build_id included) reach the MERGE that writes the
+    output index, not just the throwaway delta."""
+    from websearchengine_spark.sources.catalog import read_table
+    from websearchengine_spark.streaming import ingest
+
+    staging = str(tmp_path / "staging")
+    writer = ingest.make_batch_writer(staging)
+    writer(_tdf(spark, "a", 5), 0)
+    ingest.compact(spark, staging, str(tmp_path / "base"), resume=False,
+                   build_id="full0", block_size=64, n_buckets=4,
+                   num_partitions=4)
+    writer(_tdf(spark, "b", 3), 1)
+    m = ingest.compact_incremental(
+        spark, staging, str(tmp_path / "base"), str(tmp_path / "merged"),
+        build_id="nightly-02", num_partitions=4,
+    )
+    assert m is not None and m.n_docs == 32
+    meta = read_table(
+        spark, str(tmp_path / "merged" / "meta")
+    ).collect()[0].asDict()
+    assert int(meta["block_size"]) == 64
+    assert int(meta["n_buckets"]) == 4
+    assert meta["build_id"] == "nightly-02"

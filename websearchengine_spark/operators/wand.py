@@ -109,7 +109,7 @@ class _BucketRGs:
                 for ci in range(rg.num_columns):
                     col = rg.column(ci)
                     name = col.path_in_schema
-                    if name in ("kind", "term", "doc_lo"):
+                    if name in ("kind", "term", "doc_lo", "doc_hi"):
                         s = col.statistics
                         st[name] = (
                             (s.min, s.max)
@@ -153,14 +153,24 @@ class _BucketRGs:
                         continue
                     if ranges_by_term is not None and tst is not None:
                         lst = st.get("doc_lo")
-                        # doc_lo stats prune only when they are a single
-                        # term's range (group entirely inside one term)
+                        hst = st.get("doc_hi")
+                        # doc stats prune only when the group holds a single
+                        # term (group entirely inside one term). A group can
+                        # contain a block POSTING-overlapping [lo, hi] iff
+                        # min(doc_lo) <= hi and max(doc_hi) >= lo — the
+                        # doc_hi side matters for callers whose range cuts
+                        # fall INSIDE a block (the parallel-decode shards):
+                        # the straddling block can be the last row of a
+                        # group whose every doc_lo < lo. Missing statistics
+                        # degrade to "can't prune" on that side.
                         if (
-                            lst is not None
-                            and tst[0] == tst[1]
+                            tst[0] == tst[1]
                             and tst[0] in ranges_by_term
                             and not any(
-                                self._overlaps(lst, lo, hi)
+                                not (
+                                    (hst is not None and hst[1] < lo)
+                                    or (lst is not None and lst[0] > hi)
+                                )
                                 for lo, hi in ranges_by_term[tst[0]]
                             )
                         ):
@@ -443,6 +453,7 @@ class BlockIndexReader:
         self.parallel_workers = parallel_workers
         self.parallel_df_threshold = parallel_df_threshold
         self._pool = None  # spawned lazily; see _ensure_pool / close
+        self._pool_lock = threading.Lock()
         self.last_parallel = False  # instrumentation for tests/bench
         # terms with at most this many superblocks are leaf-prefetched WHOLE
         # in the first read that touches them (≤ 8·16384 ≈ 128k postings —
@@ -833,6 +844,9 @@ class BlockIndexReader:
         """→ [(rank, doc_id, score)] — rank-identical to the oracle."""
         terms = clean_query(query)
         cache_key = (" ".join(terms), conjunctive, k)
+        # reset BEFORE the cache check: a hit decodes nothing, so the
+        # instrumentation must not report the previous query's routing
+        self.last_parallel = False
         cached = self._result_cache.get_(cache_key)
         if cached is not None:
             return cached
@@ -865,7 +879,6 @@ class BlockIndexReader:
             path = "taat"
         else:
             path = "wand"
-        self.last_parallel = False
         if path == "taat":
             out = self._taat_route(present, lex, k, conjunctive, total_df)
         elif path == "wand":
@@ -972,25 +985,31 @@ class BlockIndexReader:
         and pyarrow repairs its thread pools in the child via its atfork
         handlers. Inherited parent state — reader locks included — is never
         touched: the initializer builds each worker its OWN reader, and the
-        worker function only ever references that."""
-        if self._pool is None:
-            import multiprocessing as mp
+        worker function only ever references that.
 
-            ctx = mp.get_context("fork")
-            self._pool = ctx.Pool(
-                self.parallel_workers,
-                initializer=_parallel_worker_init,
-                initargs=(self.paths.root,),
-            )
-        return self._pool
+        Lock-guarded: concurrent searches on one reader (the HTTP server's
+        ThreadingHTTPServer pattern) racing the lazy init would each fork a
+        full pool and leak the loser's worker processes."""
+        with self._pool_lock:
+            if self._pool is None:
+                import multiprocessing as mp
+
+                ctx = mp.get_context("fork")
+                self._pool = ctx.Pool(
+                    self.parallel_workers,
+                    initializer=_parallel_worker_init,
+                    initargs=(self.paths.root,),
+                )
+            return self._pool
 
     def close(self):
         """Release the parallel-decode pool (no-op without one). Readers
         without parallel_workers hold no process resources."""
-        if self._pool is not None:
-            self._pool.terminate()
-            self._pool.join()
-            self._pool = None
+        with self._pool_lock:
+            if self._pool is not None:
+                self._pool.terminate()
+                self._pool.join()
+                self._pool = None
 
     def _search_taat_parallel(self, present, lex, k, conjunctive):
         """Doc-range-sharded TAAT: split [0, n_docs) into 2·workers

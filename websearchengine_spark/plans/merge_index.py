@@ -201,17 +201,22 @@ def merge_block_indexes(
             _blocks_to_runs(n1), RUNS_SCHEMA
         )
     )
+    nd = max(n_docs, 1)
     hot_df = lexicon.filter(F.col("df") > hot_df_threshold).select(
         "term",
-        F.ceil(F.col("df") / F.lit(target_group_size)).cast("int").alias("n_salt"),
+        # docID width of one salt range: ceil(n_docs / n_salt) with
+        # n_salt = ceil(df / target_group_size). Salt is then an int64-safe
+        # integer DIVISION of run_pos — the naive run_pos * n_salt / n_docs
+        # product overflows int64 at ~10^12 docs × a stopword df, wrapping
+        # negative and violating the encoder's runs-in-docID-order
+        # precondition (salt must be monotone in run_pos within a term).
+        F.ceil(
+            F.lit(nd) / F.ceil(F.col("df") / F.lit(target_group_size))
+        ).cast("long").alias("salt_span"),
     )
     salted = runs.join(F.broadcast(hot_df), "term", "left").withColumn(
         "salt",
-        (
-            F.col("run_pos")
-            * F.coalesce(F.col("n_salt"), F.lit(1))
-            / F.lit(max(n_docs, 1))
-        ).cast("int"),
+        F.expr(f"CAST(run_pos DIV coalesce(salt_span, {nd}L) AS INT)"),
     ).select("term", "salt", "run_pos", "n", "ids_vb", "tfs_vb", "dls_vb")
 
     n_exch = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))

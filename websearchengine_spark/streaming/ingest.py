@@ -197,10 +197,12 @@ def compact_incremental(
 
     from websearchengine_spark.plans.block_index import BlockIndexPaths
 
-    base_n = int(
+    base_meta = (
         read_table(spark, BlockIndexPaths(base_index_dir).meta)
-        .collect()[0]["n_docs"]
+        .collect()[0]
+        .asDict()
     )
+    base_n = int(base_meta["n_docs"])
     meta = spark.read.parquet(os.path.join(staging_dir, "_batch_meta"))
     new_batches = [
         int(r["batch_id"])
@@ -216,14 +218,31 @@ def compact_incremental(
     own_work = work_dir is None
     if own_work:
         work_dir = tempfile.mkdtemp(prefix="wse_delta_idx_")
+    # The delta must be built with the BASE's physical parameters (merge
+    # refuses a block_size mismatch — defaults here would permanently brick
+    # incremental compaction of any non-default base), and the kwargs the
+    # caller passed must reach the merge that produces the OUTPUT index,
+    # not just the throwaway delta build.
+    build_id = kwargs.pop("build_id", "inc")
+    kwargs.setdefault("block_size", int(base_meta["block_size"]))
+    kwargs.setdefault("n_buckets", int(base_meta["n_buckets"]))
+    merge_kwargs = {
+        k: kwargs[k]
+        for k in (
+            "n_buckets", "hot_df_threshold", "target_group_size",
+            "num_partitions",
+        )
+        if k in kwargs
+    }
     try:
         delta_dir = os.path.join(work_dir, "delta")
         build_block_index(
-            delta, delta_dir, build_id=f"{kwargs.pop('build_id', 'inc')}-delta",
+            delta, delta_dir, build_id=f"{build_id}-delta",
             resume=False, **kwargs,
         )
         return merge_block_indexes(
             spark, base_index_dir, delta_dir, out_index_dir,
+            build_id=build_id, **merge_kwargs,
         )
     finally:
         if own_work:
