@@ -87,6 +87,26 @@ def make_handler(engine):
             # report_error (main.cpp:845-851): 400 + {"message": msg}
             self._send(400, json.dumps({"message": msg}), "application/json")
 
+        def _read_body(self) -> bytes:
+            """Request body per HTTP/1.1: Content-Length when present, else
+            chunked transfer coding. BaseHTTPRequestHandler leaves chunk
+            decoding to the handler — without this, a legal chunked POST
+            (the reference's httplib accepts it) read as an empty body."""
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            if "chunked" in te:
+                chunks = []
+                while True:
+                    size_line = self.rfile.readline(1026).split(b";", 1)[0]
+                    size = int(size_line.strip() or b"0", 16)
+                    if size == 0:
+                        # trailer section ends at the blank line
+                        while self.rfile.readline(1026).strip():
+                            pass
+                        return b"".join(chunks)
+                    chunks.append(self.rfile.read(size))
+                    self.rfile.read(2)  # CRLF after each chunk
+            return self.rfile.read(int(self.headers.get("Content-Length", "0")))
+
         def do_GET(self):
             if self.path in ("/", "/index.html"):
                 self._send(200, HOME_PAGE, "text/html")
@@ -100,8 +120,7 @@ def make_handler(engine):
                            "application/json")
                 return
             try:
-                n = int(self.headers.get("Content-Length", "0"))
-                post = json.loads(self.rfile.read(n) or b"{}")
+                post = json.loads(self._read_body() or b"{}")
                 query = str(post["query"])
                 snippet_len = int(post["snippet_len"])
                 if snippet_len <= 0:

@@ -379,6 +379,38 @@ def test_block_invariants(spark, index_dir, oracle):
         assert seen == oracle.postings[term]  # exact postings content
 
 
+def test_build_accepts_long_typed_meta_columns(spark, fixture, tmp_path_factory):
+    """Regression: a transcripts table with the natural parquet types —
+    turn_idx int64 instead of the flat schema's int32 — must build, not
+    detonate at the first flat-frame row-projection with an opaque
+    ArrowColumnVector getInt error (mapInArrow passes meta columns through
+    with the INPUT's Arrow type, unvalidated). The index must equal the
+    int-typed twin's bit for bit."""
+    import pyarrow.dataset as ds
+    from pyspark.sql import functions as F
+
+    tdf = spark.createDataFrame(fixture.transcripts.head(40))
+    wide = tdf.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+    base = tmp_path_factory.mktemp("blockidx_longmeta")
+    kw = dict(resume=False, n_buckets=4, num_partitions=4, block_size=16)
+    build_block_index(tdf, str(base / "i32"), build_id="a", **kw)
+    build_block_index(wide, str(base / "i64"), build_id="a", **kw)
+    for sub in ("blocks", "lexicon", "doc_stats"):
+        a = ds.dataset(str(base / "i32" / sub)).to_table().sort_by(
+            [(c, "ascending") for c in ("term", "doc_lo")
+             if c in ds.dataset(str(base / "i32" / sub)).schema.names]
+            or [(ds.dataset(str(base / "i32" / sub)).schema.names[0],
+                 "ascending")]
+        )
+        b = ds.dataset(str(base / "i64" / sub)).to_table().sort_by(
+            [(c, "ascending") for c in ("term", "doc_lo")
+             if c in ds.dataset(str(base / "i64" / sub)).schema.names]
+            or [(ds.dataset(str(base / "i64" / sub)).schema.names[0],
+                 "ascending")]
+        )
+        assert a.equals(b), sub
+
+
 def test_resume_produces_identical_index(spark, fixture, oracle, tmp_path_factory):
     tdf = spark.createDataFrame(fixture.transcripts)
     out = str(tmp_path_factory.mktemp("blockidx_resume"))

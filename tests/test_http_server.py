@@ -109,6 +109,35 @@ def test_post_validation_errors_reference_shape(http_env):
     assert ei.value.code == 404
 
 
+def test_post_chunked_body_equals_content_length(http_env):
+    """A legal Transfer-Encoding: chunked POST (no Content-Length — the
+    reference's httplib accepts these) must parse the body, not read it as
+    empty and 400. Answer must equal the Content-Length twin."""
+    import http.client
+
+    body = {"query": "the data", "snippet_len": 80, "n_results": 5,
+            "query_type": 0}
+    raw = json.dumps(body).encode()
+    host, port = http_env["url"].split("//")[1].split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.putrequest("POST", "/")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.putheader("Content-Type", "application/json")
+        conn.endheaders()
+        for part in (raw[:7], raw[7:]):  # two chunks exercise the loop
+            conn.send(b"%x\r\n" % len(part) + part + b"\r\n")
+        conn.send(b"0\r\n\r\n")
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+    finally:
+        conn.close()
+    assert resp.status == 200
+    st, twin = _post(http_env["url"], body)
+    assert st == 200
+    assert out["data"] == twin["data"] and out["count"] == twin["count"]
+
+
 def test_post_highlight_opt_in(http_env):
     """P14 server-side: highlight=true bolds query terms in snippets exactly
     as functions/highlight.py (the index.html:93-104 port); the cached

@@ -164,6 +164,20 @@ def test_merge_texts_sidecar(spark, tmp_path):
         assert mm[d] == txt
 
 
+def test_merge_refuses_in_place_output(spark, tmp_path):
+    """--output == --base (the natural "update the nightly index" shape)
+    must fail eagerly with a clear error, not minutes in at the blocks
+    write with Spark's cannot-overwrite-a-path-being-read."""
+    import pytest
+
+    from websearchengine_spark.plans.merge_index import merge_block_indexes
+
+    base, delta = str(tmp_path / "idx"), str(tmp_path / "delta")
+    for out, bad in ((base, "base"), (delta, "delta")):
+        with pytest.raises(ValueError, match="NEW location"):
+            merge_block_indexes(spark, base, delta, out)
+
+
 def test_compact_incremental_equals_full_compaction(spark, tmp_path):
     """Stream-staged batches: compact wave a → base, stage wave b, then
     compact_incremental must equal a full compaction of the whole staging
@@ -216,6 +230,7 @@ def test_compact_incremental_inherits_base_build_params(spark, tmp_path):
     m = ingest.compact_incremental(
         spark, staging, str(tmp_path / "base"), str(tmp_path / "merged"),
         build_id="nightly-02", num_partitions=4,
+        resume=False,  # compact()'s call shape must not TypeError here
     )
     assert m is not None and m.n_docs == 32
     meta = read_table(

@@ -416,7 +416,22 @@ def build_block_index(
 
     n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = (
-        transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        # pin the meta column types to flat_schema's: mapInArrow passes
+        # these through with the INPUT's Arrow type (tokenize_runs_batch
+        # copies the vectors), and a mismatch — e.g. the natural int64
+        # turn_idx of a plain parquet table vs the declared int — is not
+        # validated at the crossing; it detonates later as an opaque
+        # ArrowColumnVector getInt error the first time the persisted flat
+        # frame is row-projected. Catalyst elides the no-op casts, so
+        # already-typed callers pay nothing.
+        transcripts.select(
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.col("role").cast("string").alias("role"),
+            F.col("text").cast("string").alias("text"),
+            F.col("tool").cast("string").alias("tool"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
         .repartitionByRange(n_parts, "conv_id", "turn_idx")
         .sortWithinPartitions("conv_id", "turn_idx")
     )

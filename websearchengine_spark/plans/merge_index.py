@@ -155,6 +155,20 @@ def merge_block_indexes(
     the two corpora must be disjoint (the streaming stager guarantees it).
     """
     t0 = time.time()
+
+    def _norm(p: str) -> str:
+        return p if is_table_identifier(p) else os.path.abspath(p)
+
+    # fail eagerly, not minutes in: the merge reads base/delta while
+    # writing the output, so an in-place merge (--output == --base, the
+    # natural "update the nightly index" invocation) would only die at the
+    # blocks write with Spark's opaque cannot-overwrite-a-path-being-read
+    # error after the collects below already ran
+    if _norm(out_dir) in (_norm(base_dir), _norm(delta_dir)):
+        raise ValueError(
+            "out_dir must be a NEW location: the merge reads base/delta "
+            "while writing the output (write to a sibling dir, then swap)"
+        )
     base_p, delta_p, out_p = (
         BlockIndexPaths(base_dir),
         BlockIndexPaths(delta_dir),

@@ -224,6 +224,11 @@ def compact_incremental(
     # caller passed must reach the merge that produces the OUTPUT index,
     # not just the throwaway delta build.
     build_id = kwargs.pop("build_id", "inc")
+    # resume is positional-ish in the delta build call below — pop it so a
+    # caller mirroring compact()'s shape (resume=...) doesn't TypeError on
+    # a duplicate keyword. It only engages when the caller also pins
+    # work_dir (the delta checkpoint must survive the restart).
+    resume = bool(kwargs.pop("resume", False)) and not own_work
     kwargs.setdefault("block_size", int(base_meta["block_size"]))
     kwargs.setdefault("n_buckets", int(base_meta["n_buckets"]))
     merge_kwargs = {
@@ -238,7 +243,7 @@ def compact_incremental(
         delta_dir = os.path.join(work_dir, "delta")
         build_block_index(
             delta, delta_dir, build_id=f"{build_id}-delta",
-            resume=False, **kwargs,
+            resume=resume, **kwargs,
         )
         return merge_block_indexes(
             spark, base_index_dir, delta_dir, out_index_dir,
