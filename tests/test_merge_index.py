@@ -141,6 +141,60 @@ def test_merge_with_hot_salting_rank_identical(spark, tmp_path):
             ), (q, conj)
 
 
+def test_merge_multiblock_superblock_payload_identity(spark, tmp_path):
+    """The module fixture's corpora fit every term in ONE leaf block
+    (df < block_size), so it never exercises the head-gap rewrite across
+    block boundaries. Tiny block_size forces every term across MANY leaf
+    blocks — the hot "the" term past SUPERBLOCK_FACTOR of them, so kind=1
+    superblock rows re-emit — and a seeded random vocabulary makes posting
+    counts non-divisible by block_size (the merged stream must RE-CHUNK
+    across the base/delta seam, not preserve input block boundaries).
+    Content identity must still hold byte-for-byte."""
+    import random
+
+    from websearchengine_spark.plans.block_index import SUPERBLOCK_FACTOR
+
+    rnd = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta", "tht"]
+
+    def corpus(prefix: str, n_convs: int):
+        rows = []
+        for c in range(n_convs):
+            for t in range(4):
+                body = " ".join(
+                    rnd.choice(vocab) for _ in range(rnd.randint(2, 6))
+                )
+                rows.append(
+                    (f"{prefix}{c:04d}", t, "user", f"the {body}", None,
+                     TS0 + dt.timedelta(seconds=c * 4 + t))
+                )
+        return spark.createDataFrame(rows, SCHEMA)
+
+    base_t, delta_t = corpus("a", 120), corpus("b", 43)
+    kw = dict(resume=False, n_buckets=4, num_partitions=4, block_size=4)
+    build_block_index(base_t, str(tmp_path / "base"), build_id="b", **kw)
+    build_block_index(delta_t, str(tmp_path / "delta"), build_id="d", **kw)
+    merge_block_indexes(
+        spark, str(tmp_path / "base"), str(tmp_path / "delta"),
+        str(tmp_path / "merged"), build_id="m",
+    )
+    build_block_index(
+        base_t.unionByName(delta_t), str(tmp_path / "scratch"), build_id="s",
+        **kw,
+    )
+    scratch = ds.dataset(
+        str(tmp_path / "scratch" / "blocks"), partitioning="hive"
+    ).to_table().to_pandas()
+    the_leaves = scratch[(scratch["kind"] == 0) & (scratch["term"] == "the")]
+    assert len(the_leaves) > SUPERBLOCK_FACTOR  # multi-superblock regime
+    assert (scratch["kind"] == 1).sum() > 0  # superblock rows present
+    a = _table_rows(str(tmp_path / "merged" / "blocks"),
+                    ["bucket", "kind", "term", "doc_lo"])
+    b = _table_rows(str(tmp_path / "scratch" / "blocks"),
+                    ["bucket", "kind", "term", "doc_lo"])
+    assert a == b
+
+
 def test_merge_texts_sidecar(spark, tmp_path):
     import pyarrow.parquet as pq
 
