@@ -264,6 +264,41 @@ def test_compact_incremental_equals_full_compaction(spark, tmp_path):
     ) is None
 
 
+def test_compact_incremental_chains_across_waves(spark, tmp_path):
+    """A merged index must itself be a valid merge base: three staged waves
+    compacted as full → incremental → incremental must equal one full
+    compaction of the whole staging set (the nightly-merge deployment
+    shape — if chaining drifted, every deployment would need periodic full
+    rebuilds to stay correct)."""
+    from websearchengine_spark.streaming import ingest
+
+    staging = str(tmp_path / "staging")
+    writer = ingest.make_batch_writer(staging)
+    writer(_tdf(spark, "a", 6), 0)
+    kw = dict(n_buckets=8, num_partitions=4)
+    ingest.compact(spark, staging, str(tmp_path / "base"), resume=False,
+                   build_id="full0", **kw)
+    writer(_tdf(spark, "b", 3), 1)
+    m1 = ingest.compact_incremental(
+        spark, staging, str(tmp_path / "base"), str(tmp_path / "m1"), **kw
+    )
+    writer(_tdf(spark, "c", 2), 2)
+    m2 = ingest.compact_incremental(
+        spark, staging, str(tmp_path / "m1"), str(tmp_path / "m2"), **kw
+    )
+    assert m1.n_docs == 36 and m2.n_docs == 44
+    ingest.compact(spark, staging, str(tmp_path / "scratch"), resume=False,
+                   build_id="full1", **kw)
+    for name, sort_cols in (
+        ("blocks", ["bucket", "kind", "term", "doc_lo"]),
+        ("lexicon", ["term"]),
+        ("doc_stats", ["doc_id"]),
+    ):
+        a = _table_rows(str(tmp_path / "m2" / name), sort_cols)
+        b = _table_rows(str(tmp_path / "scratch" / name), sort_cols)
+        assert a == b, name
+
+
 def test_compact_incremental_inherits_base_build_params(spark, tmp_path):
     """Regression: a base built with non-default block_size must remain
     incrementally compactable — the delta build inherits the base's
