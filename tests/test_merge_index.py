@@ -328,3 +328,61 @@ def test_compact_incremental_inherits_base_build_params(spark, tmp_path):
     assert int(meta["block_size"]) == 64
     assert int(meta["n_buckets"]) == 4
     assert meta["build_id"] == "nightly-02"
+
+
+def test_merge_out_of_arrival_order_serving_correct(spark, tmp_path):
+    """Arrival-blocked numbering (module docstring): when the DELTA's
+    conversations sort BEFORE the base's, merged docIDs keep parse order
+    (base ids first — the reference's create_index.cpp:314 numbering), so
+    content identity with a fresh union build is out of reach by design.
+    Every query ANSWER must still be correct: per-(conv_id, turn_idx) BM25
+    scores bitwise-equal to the fresh build's (the sorted-term float fold
+    never sees docIDs), with only the docID tie ORDER free to differ."""
+    import pyarrow.dataset as pds
+
+    from websearchengine_spark.operators.wand import BlockIndexReader
+
+    base_t = _tdf(spark, "b", 10)   # convs b000.. — arrive FIRST
+    delta_t = _tdf(spark, "a", 4)   # convs a000.. — sort first, arrive later
+    kw = dict(resume=False, n_buckets=8, num_partitions=4)
+    build_block_index(base_t, str(tmp_path / "base"), build_id="b", **kw)
+    build_block_index(delta_t, str(tmp_path / "delta"), build_id="d", **kw)
+    m = merge_block_indexes(
+        spark, str(tmp_path / "base"), str(tmp_path / "delta"),
+        str(tmp_path / "merged"), build_id="m",
+    )
+    s = build_block_index(
+        base_t.unionByName(delta_t), str(tmp_path / "scratch"), build_id="s",
+        **kw,
+    )
+    assert m.n_docs == s.n_docs and m.avg_dl == s.avg_dl
+    assert m.n_postings == s.n_postings
+
+    def key_of(index_dir: str) -> dict[int, tuple[str, int]]:
+        t = pds.dataset(str(tmp_path / index_dir / "doc_stats")).to_table(
+            columns=["doc_id", "conv_id", "turn_idx"]
+        )
+        return {
+            d: (c, x)
+            for d, c, x in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("conv_id").to_pylist(),
+                t.column("turn_idx").to_pylist(),
+            )
+        }
+
+    km, ks = key_of("merged"), key_of("scratch")
+    assert sorted(km.values()) == sorted(ks.values())
+    assert km != ks  # the numberings genuinely differ in this regime
+    rm = BlockIndexReader(str(tmp_path / "merged"))
+    rs = BlockIndexReader(str(tmp_path / "scratch"))
+    for q in ("the", "spark merge", "the data block", "query run index"):
+        for conj in (True, False):
+            # k covers every match → same (conv, turn)→score map, and the
+            # score sequences (the part ranking is allowed to pin) coincide
+            mm = rm.search(q, conjunctive=conj, k=1000)
+            ss = rs.search(q, conjunctive=conj, k=1000)
+            assert [r[2] for r in mm] == [r[2] for r in ss], (q, conj)
+            assert {km[d]: sc for _, d, sc in mm} == {
+                ks[d]: sc for _, d, sc in ss
+            }, (q, conj)
