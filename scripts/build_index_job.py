@@ -24,7 +24,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# direct `python scripts/...` runs (the spark-submit path ships the package
+# via --py-files instead, which also works — the insert is harmless there);
+# PYTHONPATH propagates the package to local-mode python WORKERS, which fork
+# with the environment, not the driver's sys.path
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -22,14 +22,26 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# direct `python scripts/...` runs (the spark-submit path ships the package
+# via --py-files instead, which also works — the insert is harmless there);
+# PYTHONPATH propagates the package to local-mode python WORKERS, which fork
+# with the environment, not the driver's sys.path
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--base", required=True, help="existing index directory")
-    p.add_argument("--delta", default=None,
-                   help="delta index directory (mutually exclusive with --staging)")
+    p.add_argument("--delta", action="append", default=None,
+                   help="delta index directory (repeatable: k deltas merge "
+                        "in ONE pass, in the order given — the reference's "
+                        "N-input merge_index shape; mutually exclusive with "
+                        "--staging)")
     p.add_argument("--staging", default=None,
                    help="streaming staging dir; batches beyond the base index's "
                         "docID range become the delta")
@@ -47,10 +59,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName(f"wse-merge-{args.build_id}").getOrCreate()
     if args.delta is not None:
-        from websearchengine_spark.plans.merge_index import merge_block_indexes
+        from websearchengine_spark.plans.merge_index import (
+            merge_many_block_indexes,
+        )
 
-        metrics = merge_block_indexes(
-            spark, args.base, args.delta, args.output,
+        metrics = merge_many_block_indexes(
+            spark, [args.base, *args.delta], args.output,
             build_id=args.build_id,
             n_buckets=args.n_buckets,
             hot_df_threshold=args.hot_df_threshold,

@@ -386,3 +386,61 @@ def test_merge_out_of_arrival_order_serving_correct(spark, tmp_path):
             assert {km[d]: sc for _, d, sc in mm} == {
                 ks[d]: sc for _, d, sc in ss
             }, (q, conj)
+
+
+def test_merge_many_one_pass_identical_to_scratch_and_chain(spark, tmp_path):
+    """N-way merge (the reference's merge_index shape — merge_index.cpp:
+    363-407 opens EVERY partial index and heap-merges in one pass): three
+    indexes merged in ONE exchange must be content-identical — payload
+    bytes included — to a from-scratch build on the union AND to chained
+    2-way merges (arrival order == sort order here)."""
+    from websearchengine_spark.plans.merge_index import (
+        merge_block_indexes,
+        merge_many_block_indexes,
+    )
+
+    parts = [_tdf(spark, p, n) for p, n in (("a", 6), ("b", 4), ("c", 3))]
+    kw = dict(resume=False, n_buckets=8, num_partitions=4)
+    dirs = []
+    for i, t in enumerate(parts):
+        d = str(tmp_path / f"i{i}")
+        build_block_index(t, d, build_id=f"i{i}", **kw)
+        dirs.append(d)
+
+    m = merge_many_block_indexes(
+        spark, dirs, str(tmp_path / "many"), build_id="m"
+    )
+    s = build_block_index(
+        parts[0].unionByName(parts[1]).unionByName(parts[2]),
+        str(tmp_path / "scratch"), build_id="s", **kw,
+    )
+    merge_block_indexes(spark, dirs[0], dirs[1], str(tmp_path / "ab"))
+    merge_block_indexes(
+        spark, str(tmp_path / "ab"), dirs[2], str(tmp_path / "chain")
+    )
+
+    assert (m.n_docs, m.avg_dl, m.n_postings) == (
+        s.n_docs, s.avg_dl, s.n_postings
+    )
+    for name, cols in (
+        ("blocks", ["bucket", "kind", "term", "doc_lo"]),
+        ("lexicon", ["term"]),
+        ("doc_stats", ["doc_id"]),
+    ):
+        want = _table_rows(str(tmp_path / "scratch" / name), cols)
+        assert _table_rows(str(tmp_path / "many" / name), cols) == want, name
+        assert _table_rows(str(tmp_path / "chain" / name), cols) == want, name
+
+
+def test_merge_many_validates_inputs(spark, tmp_path):
+    from websearchengine_spark.plans.merge_index import (
+        merge_many_block_indexes,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    with pytest.raises(ValueError, match="at least two"):
+        merge_many_block_indexes(spark, [a], str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="disjoint"):
+        merge_many_block_indexes(spark, [a, b, a], str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="NEW location"):
+        merge_many_block_indexes(spark, [a, b], b)

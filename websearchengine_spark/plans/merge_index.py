@@ -1,10 +1,13 @@
-"""Incremental index merge: base index + delta index → one merged index.
+"""Incremental index merge: k block indexes → one merged index.
 
-The analogue of the reference's merge_index pass (merge_index.cpp:394-476
-k-way heap merge of sorted runs) for the case a live deployment actually
-hits: an index already serves queries and a NEW batch of turns arrives.
+The analogue of the reference's merge_index pass (merge_index.cpp:353-476:
+open EVERY partial index in a directory, k-way heap-merge their sorted
+runs) for the case a live deployment actually hits: an index already
+serves queries and NEW batches of turns arrive.
+:func:`merge_many_block_indexes` is the N-input entry point;
+:func:`merge_block_indexes` is the common base+delta special case.
 Rebuilding from scratch re-tokenizes and re-shuffles the whole corpus;
-this module instead treats the two indexes' posting BLOCKS as pre-sorted
+this module instead treats the input indexes' posting BLOCKS as pre-sorted
 compressed runs and re-runs only the (term, salt) exchange + block encode:
 
 1. each leaf block row becomes one compressed RUN — the varbyte payloads
@@ -153,68 +156,112 @@ def merge_block_indexes(
     delta docIDs shift by ``base.n_docs`` (arrival-blocked numbering — see
     module docstring). Inputs must be block_format 3 with equal block_size;
     the two corpora must be disjoint (the streaming stager guarantees it).
-    """
+    Thin wrapper over :func:`merge_many_block_indexes`."""
+    return merge_many_block_indexes(
+        spark,
+        (base_dir, delta_dir),
+        out_dir,
+        build_id=build_id,
+        n_buckets=n_buckets,
+        hot_df_threshold=hot_df_threshold,
+        target_group_size=target_group_size,
+        num_partitions=num_partitions,
+    )
+
+
+def merge_many_block_indexes(
+    spark: SparkSession,
+    input_dirs,
+    out_dir: str,
+    *,
+    build_id: str = "merge0",
+    n_buckets: int | None = None,
+    hot_df_threshold: int = 100_000,
+    target_group_size: int = 50_000,
+    num_partitions: int | None = None,
+) -> BuildMetrics:
+    """k-way merge of ``input_dirs`` (ordered) into ``out_dir`` — the
+    reference's N-input shape (merge_index.cpp:363-407 opens EVERY partial
+    index in the directory and heap-merges them in one pass). docIDs are
+    arrival-blocked in list order: index ``i``'s ids shift by the total
+    ``n_docs`` of indexes ``0..i-1``. One pass matters at scale: chaining
+    2-way merges to absorb k deltas re-shuffles the ever-growing base k-1
+    times, while this moves every posting through the exchange exactly once.
+    Inputs must be block_format 3 with equal block_size over disjoint
+    corpora (the streaming stager guarantees disjointness)."""
     t0 = time.time()
+    input_dirs = list(input_dirs)
+    if len(input_dirs) < 2:
+        raise ValueError("merge needs at least two input indexes")
 
     def _norm(p: str) -> str:
         return p if is_table_identifier(p) else os.path.abspath(p)
 
-    # fail eagerly, not minutes in: the merge reads base/delta while
+    normed = [_norm(d) for d in input_dirs]
+    if len(set(normed)) != len(normed):
+        raise ValueError(
+            "duplicate input index: merged corpora must be disjoint"
+        )
+    # fail eagerly, not minutes in: the merge reads the inputs while
     # writing the output, so an in-place merge (--output == --base, the
     # natural "update the nightly index" invocation) would only die at the
     # blocks write with Spark's opaque cannot-overwrite-a-path-being-read
     # error after the collects below already ran
-    if _norm(out_dir) in (_norm(base_dir), _norm(delta_dir)):
+    if _norm(out_dir) in normed:
         raise ValueError(
-            "out_dir must be a NEW location: the merge reads base/delta "
+            "out_dir must be a NEW location: the merge reads its inputs "
             "while writing the output (write to a sibling dir, then swap)"
         )
-    base_p, delta_p, out_p = (
-        BlockIndexPaths(base_dir),
-        BlockIndexPaths(delta_dir),
-        BlockIndexPaths(out_dir),
-    )
-    base_meta = read_table(spark, base_p.meta).collect()[0].asDict()
-    delta_meta = read_table(spark, delta_p.meta).collect()[0].asDict()
-    for m, d in ((base_meta, base_dir), (delta_meta, delta_dir)):
+    in_ps = [BlockIndexPaths(d) for d in input_dirs]
+    out_p = BlockIndexPaths(out_dir)
+    metas = [read_table(spark, p.meta).collect()[0].asDict() for p in in_ps]
+    for m, d in zip(metas, input_dirs):
         if int(m.get("block_format", 1)) != 3:
             raise ValueError(f"index at {d} is block_format "
                              f"{m.get('block_format')}; merge requires 3")
-    if int(base_meta["block_size"]) != int(delta_meta["block_size"]):
-        raise ValueError("block_size mismatch between base and delta")
-    block_size = int(base_meta["block_size"])
-    n_buckets = n_buckets or int(base_meta["n_buckets"])
-    n1, n2 = int(base_meta["n_docs"]), int(delta_meta["n_docs"])
-    n_docs = n1 + n2
+    block_sizes = {int(m["block_size"]) for m in metas}
+    if len(block_sizes) > 1:
+        raise ValueError("block_size mismatch between input indexes")
+    block_size = block_sizes.pop()
+    n_buckets = n_buckets or int(metas[0]["n_buckets"])
+    counts = [int(m["n_docs"]) for m in metas]
+    # shift for index i = total docs of indexes before it (arrival-blocked)
+    shifts = [sum(counts[:i]) for i in range(len(counts))]
+    n_docs = sum(counts)
 
     # exact avg_dl: integer dl sums from doc_stats — the same number a
     # from-scratch build computes (total_dl / n_docs in one float division)
-    base_ds = read_table(spark, base_p.doc_stats)
-    delta_ds = read_table(spark, delta_p.doc_stats)
-    total_dl = int(
-        base_ds.agg(F.sum("term_cnt")).collect()[0][0] or 0
-    ) + int(delta_ds.agg(F.sum("term_cnt")).collect()[0][0] or 0)
+    in_ds = [read_table(spark, p.doc_stats) for p in in_ps]
+    total_dl = sum(
+        int(ds.agg(F.sum("term_cnt")).collect()[0][0] or 0) for ds in in_ds
+    )
     avg_dl = (total_dl / n_docs) if n_docs else 0.0
 
     # merged lexicon (disjoint corpora ⇒ dfs/cfs add)
+    lex_parts = [
+        read_table(spark, p.lexicon).select("term", "df", "cf") for p in in_ps
+    ]
+    lex_union = lex_parts[0]
+    for part in lex_parts[1:]:
+        lex_union = lex_union.unionByName(part)
     lexicon = (
-        read_table(spark, base_p.lexicon)
-        .select("term", "df", "cf")
-        .unionByName(read_table(spark, delta_p.lexicon).select("term", "df", "cf"))
-        .groupBy("term")
+        lex_union.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     ).persist()
 
-    # blocks → runs (delta shifted), salted like a fresh build but with the
-    # salt ranges cut on the MERGED docID axis (monotone in doc_lo ⇒ salted
-    # sub-lists stay contiguous disjoint ranges that concatenate in order)
-    runs = _leaf_blocks(spark, base_p).mapInArrow(
+    # blocks → runs (each index shifted), salted like a fresh build but with
+    # the salt ranges cut on the MERGED docID axis (monotone in doc_lo ⇒
+    # salted sub-lists stay contiguous disjoint ranges that concatenate in
+    # order)
+    runs = _leaf_blocks(spark, in_ps[0]).mapInArrow(
         _blocks_to_runs(0), RUNS_SCHEMA
-    ).unionByName(
-        _leaf_blocks(spark, delta_p).mapInArrow(
-            _blocks_to_runs(n1), RUNS_SCHEMA
-        )
     )
+    for p, shift in zip(in_ps[1:], shifts[1:]):
+        runs = runs.unionByName(
+            _leaf_blocks(spark, p).mapInArrow(
+                _blocks_to_runs(shift), RUNS_SCHEMA
+            )
+        )
     nd = max(n_docs, 1)
     hot_df = lexicon.filter(F.col("df") > hot_df_threshold).select(
         "term",
@@ -270,13 +317,12 @@ def merge_block_indexes(
         partition_by=("bucket",),
         options={"parquet.block.size": 256 << 10},
     )
-    write_table(
-        base_ds.unionByName(
-            delta_ds.withColumn("doc_id", F.col("doc_id") + F.lit(n1))
-        ),
-        out_p.doc_stats,
-        mode="overwrite",
-    )
+    ds_union = in_ds[0]
+    for ds, shift in zip(in_ds[1:], shifts[1:]):
+        ds_union = ds_union.unionByName(
+            ds.withColumn("doc_id", F.col("doc_id") + F.lit(shift))
+        )
+    write_table(ds_union, out_p.doc_stats, mode="overwrite")
     fingerprint = f"{n_docs}:{avg_dl:.6f}"
     write_table(
         spark.createDataFrame(
@@ -287,18 +333,22 @@ def merge_block_indexes(
         out_p.meta,
         mode="overwrite",
     )
-    # texts sidecar: merged when both inputs carry one (filesystem layouts;
-    # row groups stay contiguous docID ranges because the union preserves
-    # each side's clustering and delta ids all sort after base ids)
-    if not is_table_identifier(out_dir) and (
-        os.path.isdir(base_p.texts) and os.path.isdir(delta_p.texts)
+    # texts sidecar: merged when EVERY input carries one (filesystem
+    # layouts; row groups stay contiguous docID ranges because the union
+    # preserves each side's clustering and each index's shifted ids all
+    # sort after the previous index's)
+    if not is_table_identifier(out_dir) and all(
+        os.path.isdir(p.texts) for p in in_ps
     ):
-        write_table(
-            read_table(spark, base_p.texts).unionByName(
-                read_table(spark, delta_p.texts).withColumn(
-                    "doc_id", F.col("doc_id") + F.lit(n1)
+        texts = read_table(spark, in_ps[0].texts)
+        for p, shift in zip(in_ps[1:], shifts[1:]):
+            texts = texts.unionByName(
+                read_table(spark, p.texts).withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(shift)
                 )
-            ),
+            )
+        write_table(
+            texts,
             out_p.texts,
             mode="overwrite",
             options={"parquet.block.size": 256 << 10},
