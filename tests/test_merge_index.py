@@ -444,3 +444,61 @@ def test_merge_many_validates_inputs(spark, tmp_path):
         merge_many_block_indexes(spark, [a, b, a], str(tmp_path / "out"))
     with pytest.raises(ValueError, match="NEW location"):
         merge_many_block_indexes(spark, [a, b], b)
+
+
+def test_merge_many_heterogeneous_buckets_out_of_order(spark, tmp_path):
+    """k-way robustness in the regimes a live deployment hits: inputs
+    built with DIFFERENT n_buckets (a delta built with other defaults —
+    bucketing is physical layout, not content) and arrival order ≠
+    (conv_id, turn_idx) order (middle input sorts first). Content identity
+    is out of reach by design; the answer map must still be exact: same
+    per-(conv_id, turn_idx) BM25 score map as a fresh union build."""
+    import pyarrow.dataset as pds
+
+    from websearchengine_spark.operators.wand import BlockIndexReader
+    from websearchengine_spark.plans.merge_index import (
+        merge_many_block_indexes,
+    )
+
+    parts = [
+        (_tdf(spark, "m", 5), 8),   # convs m* arrive first, sort middle
+        (_tdf(spark, "a", 4), 4),   # convs a* sort first, arrive second
+        (_tdf(spark, "z", 3), 2),   # convs z* sort last
+    ]
+    dirs = []
+    for i, (t, nb) in enumerate(parts):
+        d = str(tmp_path / f"i{i}")
+        build_block_index(t, d, resume=False, n_buckets=nb,
+                          num_partitions=4, build_id=f"i{i}")
+        dirs.append(d)
+    m = merge_many_block_indexes(
+        spark, dirs, str(tmp_path / "merged"), build_id="m"
+    )
+    u = parts[0][0].unionByName(parts[1][0]).unionByName(parts[2][0])
+    s = build_block_index(u, str(tmp_path / "scratch"), resume=False,
+                          n_buckets=8, num_partitions=4, build_id="s")
+    assert m.n_docs == s.n_docs and m.avg_dl == s.avg_dl
+    assert m.n_postings == s.n_postings
+
+    def key_of(index_dir: str) -> dict[int, tuple[str, int]]:
+        t = pds.dataset(str(tmp_path / index_dir / "doc_stats")).to_table(
+            columns=["doc_id", "conv_id", "turn_idx"]
+        )
+        return dict(zip(
+            t.column("doc_id").to_pylist(),
+            zip(t.column("conv_id").to_pylist(),
+                t.column("turn_idx").to_pylist()),
+        ))
+
+    km, ks = key_of("merged"), key_of("scratch")
+    assert sorted(km.values()) == sorted(ks.values())
+    rm = BlockIndexReader(str(tmp_path / "merged"))
+    rs = BlockIndexReader(str(tmp_path / "scratch"))
+    for q in ("the", "spark merge", "the data block", "query run index"):
+        for conj in (True, False):
+            mm = rm.search(q, conjunctive=conj, k=1000)
+            ss = rs.search(q, conjunctive=conj, k=1000)
+            assert [r[2] for r in mm] == [r[2] for r in ss], (q, conj)
+            assert {km[d]: sc for _, d, sc in mm} == {
+                ks[d]: sc for _, d, sc in ss
+            }, (q, conj)
