@@ -502,3 +502,25 @@ def test_merge_many_heterogeneous_buckets_out_of_order(spark, tmp_path):
             assert {km[d]: sc for _, d, sc in mm} == {
                 ks[d]: sc for _, d, sc in ss
             }, (q, conj)
+
+
+def test_merge_parallel_decode_identical(merged_vs_scratch):
+    """Within-query parallel decode (doc-range-sharded TAAT, fork pool)
+    over a MERGED index: bitwise-equal to the serial path — the merge
+    output must satisfy the same reader contract a fresh build does,
+    including the row-group-pruned shard reads."""
+    from websearchengine_spark.operators.wand import BlockIndexReader
+
+    root, _m, _s = merged_vs_scratch
+    ser = BlockIndexReader(str(root / "merged"))
+    par = BlockIndexReader(
+        str(root / "merged"), parallel_workers=2, parallel_df_threshold=1
+    )
+    engaged = False
+    for q in ("the", "spark merge", "the data block", "query run index"):
+        for conj in (True, False):
+            assert par.search(q, conjunctive=conj, k=20) == ser.search(
+                q, conjunctive=conj, k=20
+            ), (q, conj)
+            engaged = engaged or par.last_parallel
+    assert engaged  # the sharded path actually ran, not just the router
