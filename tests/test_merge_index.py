@@ -524,3 +524,68 @@ def test_merge_parallel_decode_identical(merged_vs_scratch):
             ), (q, conj)
             engaged = engaged or par.last_parallel
     assert engaged  # the sharded path actually ran, not just the router
+
+
+def test_merge_with_empty_delta(spark, tmp_path):
+    """A quiet ingest window stages ZERO turns — the resulting empty index
+    (legal: build_block_index succeeds on a 0-row input, writing fileless
+    parquet dirs + a meta row) must be a legal merge input in every
+    position. Regression: the sidecar reads used schema inference, which
+    dies with UNABLE_TO_INFER_SCHEMA on a fileless dir; explicit schemas
+    make the zero-row frames flow through the merge math (zero shift, zero
+    dl, no runs). The merged output must equal the base — tables and
+    serving — in both orders and in a 3-way with two empty inputs."""
+    from websearchengine_spark.operators.wand import BlockIndexReader
+    from websearchengine_spark.plans.merge_index import (
+        merge_many_block_indexes,
+    )
+
+    kw = dict(resume=False, n_buckets=8, num_partitions=4)
+    base_t = _tdf(spark, "a", 8)
+    empty_t = spark.createDataFrame([], SCHEMA)
+    build_block_index(base_t, str(tmp_path / "base"), build_id="b",
+                      store_texts=True, **kw)
+    for name in ("e1", "e2"):
+        em = build_block_index(empty_t, str(tmp_path / name),
+                               build_id=name, store_texts=True, **kw)
+        assert (em.n_docs, em.n_postings) == (0, 0)
+
+    m1 = merge_block_indexes(
+        spark, str(tmp_path / "base"), str(tmp_path / "e1"),
+        str(tmp_path / "m1"),
+    )
+    m2 = merge_block_indexes(  # empty FIRST: base ids shift by 0
+        spark, str(tmp_path / "e1"), str(tmp_path / "base"),
+        str(tmp_path / "m2"),
+    )
+    m3 = merge_many_block_indexes(
+        spark,
+        (str(tmp_path / "e1"), str(tmp_path / "base"), str(tmp_path / "e2")),
+        str(tmp_path / "m3"),
+    )
+
+    rb = BlockIndexReader(str(tmp_path / "base"))
+    queries = ("the", "spark merge", "the data block", "query run index")
+    want_tables = {
+        name: _table_rows(str(tmp_path / "base" / name), cols)
+        for name, cols in (
+            ("blocks", ["bucket", "kind", "term", "doc_lo"]),
+            ("lexicon", ["term"]),
+            ("doc_stats", ["doc_id"]),
+        )
+    }
+    for m, out in ((m1, "m1"), (m2, "m2"), (m3, "m3")):
+        assert m.n_docs == rb.n_docs
+        for name, cols in (
+            ("blocks", ["bucket", "kind", "term", "doc_lo"]),
+            ("lexicon", ["term"]),
+            ("doc_stats", ["doc_id"]),
+        ):
+            got = _table_rows(str(tmp_path / out / name), cols)
+            assert got == want_tables[name], (out, name)
+        r = BlockIndexReader(str(tmp_path / out))
+        for q in queries:
+            for conj in (True, False):
+                assert r.search(q, conjunctive=conj, k=50) == rb.search(
+                    q, conjunctive=conj, k=50
+                ), (out, q, conj)

@@ -76,6 +76,38 @@ RUNS_SCHEMA = (
     "dls_vb binary"
 )
 
+# explicit read schemas for the sidecar tables (the layouts
+# plans.block_index writes): an index built over an EMPTY input — a quiet
+# ingest window staging zero turns — is a legal merge input, but its
+# parquet dirs contain no data files, so a schemaless read dies with
+# UNABLE_TO_INFER_SCHEMA instead of yielding the zero-row frame the merge
+# math already handles (zero shift, zero dl, no runs).
+LEXICON_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("cf", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),  # partition col
+    ]
+)
+DOC_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("term_cnt", T.LongType()),
+    ]
+)
+TEXTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
 
 def _blocks_to_runs(shift: int):
     """mapInArrow body: leaf block rows → compressed runs with ABSOLUTE
@@ -231,7 +263,9 @@ def merge_many_block_indexes(
 
     # exact avg_dl: integer dl sums from doc_stats — the same number a
     # from-scratch build computes (total_dl / n_docs in one float division)
-    in_ds = [read_table(spark, p.doc_stats) for p in in_ps]
+    in_ds = [
+        read_table(spark, p.doc_stats, schema=DOC_STATS_SCHEMA) for p in in_ps
+    ]
     total_dl = sum(
         int(ds.agg(F.sum("term_cnt")).collect()[0][0] or 0) for ds in in_ds
     )
@@ -239,7 +273,10 @@ def merge_many_block_indexes(
 
     # merged lexicon (disjoint corpora ⇒ dfs/cfs add)
     lex_parts = [
-        read_table(spark, p.lexicon).select("term", "df", "cf") for p in in_ps
+        read_table(spark, p.lexicon, schema=LEXICON_READ_SCHEMA).select(
+            "term", "df", "cf"
+        )
+        for p in in_ps
     ]
     lex_union = lex_parts[0]
     for part in lex_parts[1:]:
@@ -340,10 +377,10 @@ def merge_many_block_indexes(
     if not is_table_identifier(out_dir) and all(
         os.path.isdir(p.texts) for p in in_ps
     ):
-        texts = read_table(spark, in_ps[0].texts)
+        texts = read_table(spark, in_ps[0].texts, schema=TEXTS_SCHEMA)
         for p, shift in zip(in_ps[1:], shifts[1:]):
             texts = texts.unionByName(
-                read_table(spark, p.texts).withColumn(
+                read_table(spark, p.texts, schema=TEXTS_SCHEMA).withColumn(
                     "doc_id", F.col("doc_id") + F.lit(shift)
                 )
             )
