@@ -589,3 +589,63 @@ def test_merge_with_empty_delta(spark, tmp_path):
                 assert r.search(q, conjunctive=conj, k=50) == rb.search(
                     q, conjunctive=conj, k=50
                 ), (out, q, conj)
+
+
+def test_merge_mixed_texts_sidecars_raise_and_empty_textless_ok(
+    spark, tmp_path
+):
+    """A snippets-enabled base merged with a NON-EMPTY textless delta must
+    be a hard error (silently dropping texts/ would break snippet serving
+    on the merged index); an EMPTY textless input contributes no texts and
+    must not block the merge — the base's sidecar carries through."""
+    import pyarrow.parquet as pq
+
+    kw = dict(resume=False, n_buckets=4, num_partitions=2)
+    build_block_index(_tdf(spark, "a", 3), str(tmp_path / "base"),
+                      build_id="b", store_texts=True, **kw)
+    build_block_index(_tdf(spark, "b", 2), str(tmp_path / "delta_nt"),
+                      build_id="d", store_texts=False, **kw)
+    build_block_index(spark.createDataFrame([], SCHEMA),
+                      str(tmp_path / "empty_nt"), build_id="e",
+                      store_texts=False, **kw)
+
+    with pytest.raises(ValueError, match="mixed texts sidecars"):
+        merge_block_indexes(
+            spark, str(tmp_path / "base"), str(tmp_path / "delta_nt"),
+            str(tmp_path / "m_bad"),
+        )
+
+    merge_block_indexes(
+        spark, str(tmp_path / "base"), str(tmp_path / "empty_nt"),
+        str(tmp_path / "m_ok"),
+    )
+    merged = pq.read_table(str(tmp_path / "m_ok" / "texts")).to_pandas()
+    base = pq.read_table(str(tmp_path / "base" / "texts")).to_pandas()
+    assert dict(zip(merged["doc_id"], merged["text"])) == dict(
+        zip(base["doc_id"], base["text"])
+    )
+
+
+def test_compact_incremental_inherits_store_texts(spark, tmp_path):
+    """A nightly compaction of a snippets-enabled base must keep snippet
+    serving without the caller re-stating store_texts: the delta build
+    inherits the base's texts-sidecar decision."""
+    import pyarrow.parquet as pq
+
+    from websearchengine_spark.streaming import ingest
+
+    staging = str(tmp_path / "staging")
+    writer = ingest.make_batch_writer(staging)
+    writer(_tdf(spark, "a", 4), 0)
+    kw = dict(n_buckets=4, num_partitions=2)
+    ingest.compact(spark, staging, str(tmp_path / "base"), resume=False,
+                   build_id="full0", store_texts=True, **kw)
+    writer(_tdf(spark, "b", 2), 1)
+    m = ingest.compact_incremental(
+        spark, staging, str(tmp_path / "base"), str(tmp_path / "merged"),
+        **kw,
+    )
+    assert m is not None and m.n_docs == 24
+    merged = pq.read_table(str(tmp_path / "merged" / "texts")).to_pandas()
+    assert sorted(merged["doc_id"]) == list(range(24))
+    assert merged["text"].str.startswith("the ").all()

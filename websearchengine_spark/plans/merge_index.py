@@ -370,26 +370,45 @@ def merge_many_block_indexes(
         out_p.meta,
         mode="overwrite",
     )
-    # texts sidecar: merged when EVERY input carries one (filesystem
-    # layouts; row groups stay contiguous docID ranges because the union
-    # preserves each side's clustering and each index's shifted ids all
-    # sort after the previous index's)
-    if not is_table_identifier(out_dir) and all(
-        os.path.isdir(p.texts) for p in in_ps
-    ):
-        texts = read_table(spark, in_ps[0].texts, schema=TEXTS_SCHEMA)
-        for p, shift in zip(in_ps[1:], shifts[1:]):
-            texts = texts.unionByName(
-                read_table(spark, p.texts, schema=TEXTS_SCHEMA).withColumn(
-                    "doc_id", F.col("doc_id") + F.lit(shift)
-                )
+    # texts sidecar: merged when every NON-EMPTY input carries one
+    # (filesystem layouts; row groups stay contiguous docID ranges because
+    # the union preserves each side's clustering and each index's shifted
+    # ids all sort after the previous index's). Empty inputs contribute no
+    # texts regardless, so whether they carry the (fileless) sidecar dir is
+    # irrelevant. A MIXED set of non-empty inputs is an error, not a silent
+    # skip: the natural failure is a nightly delta built without
+    # store_texts merged into a snippets-enabled base — dropping the
+    # sidecar would silently break snippet serving on the merged index.
+    if not is_table_identifier(out_dir):
+        has_texts = [os.path.isdir(p.texts) for p in in_ps]
+        nonempty_have = [
+            h for h, c in zip(has_texts, counts) if c > 0
+        ]
+        if any(nonempty_have) and not all(nonempty_have):
+            raise ValueError(
+                "mixed texts sidecars: some non-empty inputs carry texts/ "
+                "and some do not — the merged index would silently lose "
+                "snippet serving; build every delta with store_texts=True "
+                "(streaming.compact_incremental inherits it from the base)"
             )
-        write_table(
-            texts,
-            out_p.texts,
-            mode="overwrite",
-            options={"parquet.block.size": 256 << 10},
-        )
+        if nonempty_have and all(nonempty_have):
+            with_texts = [
+                (p, s) for p, s, h in zip(in_ps, shifts, has_texts) if h
+            ]
+            texts = None
+            for p, shift in with_texts:
+                part = read_table(spark, p.texts, schema=TEXTS_SCHEMA)
+                if shift:
+                    part = part.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(shift)
+                    )
+                texts = part if texts is None else texts.unionByName(part)
+            write_table(
+                texts,
+                out_p.texts,
+                mode="overwrite",
+                options={"parquet.block.size": 256 << 10},
+            )
 
     # per-bucket lineage + metrics (merge provenance), same accounting shape
     # as a fresh build's checkpoints: column-pruned stats scan, no payload read

@@ -231,6 +231,17 @@ def compact_incremental(
     resume = bool(kwargs.pop("resume", False)) and not own_work
     kwargs.setdefault("block_size", int(base_meta["block_size"]))
     kwargs.setdefault("n_buckets", int(base_meta["n_buckets"]))
+    # the delta must also inherit the base's TEXTS sidecar decision: a
+    # snippets-enabled base merged with a textless delta is a hard error in
+    # merge_block_indexes (silently dropping the sidecar would break
+    # snippet serving), so default store_texts to what the base carries
+    from websearchengine_spark.sources.catalog import is_table_identifier
+
+    kwargs.setdefault(
+        "store_texts",
+        (not is_table_identifier(base_index_dir))
+        and os.path.isdir(BlockIndexPaths(base_index_dir).texts),
+    )
     merge_kwargs = {
         k: kwargs[k]
         for k in (
