@@ -254,3 +254,37 @@ def test_ivf_index_service_matches_dataframe_plan(spark, tmp_path):
     for qid, vec in qvecs.items():
         got = svc.search_vector(vec, k=10, nprobe=16, exclude_id=qid)
         assert got == sorted(exact.get(qid, [])), qid
+
+
+def test_ann_and_ivf_indexes_handle_empty_vectors(spark, tmp_path):
+    """A vectorless shard / day-0 rebuild is a legal index build: the
+    partitioned write leaves a fileless dir (no schema to infer on
+    read-back) and max(size(embedding)) aggregates to NULL — both builders
+    must still emit a well-formed meta, and the services must answer any
+    query with [] instead of shape errors from dim-0 planes/centroids."""
+    import numpy as np
+
+    from websearchengine_spark.operators.ann_service import (
+        AnnService,
+        IvfService,
+    )
+    from websearchengine_spark.plans.ann_index import (
+        build_ann_index,
+        build_ivf_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(0)
+    ann_out, ivf_out = str(tmp_path / "ann"), str(tmp_path / "ivf")
+    m1 = build_ann_index(emb, ann_out, n_planes=8)
+    assert (m1["n_vectors"], m1["dim"], m1["n_buckets_used"]) == (0, 0, 0)
+    m2 = build_ivf_index(emb, ivf_out, n_lists=4)
+    assert (m2["n_vectors"], m2["dim"]) == (0, 0)
+
+    q = np.zeros(64, dtype=np.float64)
+    q[0] = 1.0
+    assert AnnService(ann_out).search_vector(q, k=5) == []
+    ivf = IvfService(ivf_out)
+    assert ivf.probe_lists(q, nprobe=2) == []
+    assert ivf.search_vector(q, k=5, nprobe=2) == []

@@ -34,6 +34,7 @@ class AnnService:
         meta = pq.read_table(os.path.join(root, "meta")).to_pylist()[0]
         self.dim = int(meta["dim"])
         self.n_planes = int(meta["n_planes"])
+        self.n_vectors = int(meta["n_vectors"])
         self.fixed_point = int(meta["fixed_point"])
         self._ds = ds.dataset(os.path.join(root, "vectors"), partitioning="hive")
         self._signs = plane_signs(self.n_planes, self.dim)
@@ -71,6 +72,8 @@ class AnnService:
     ) -> list[tuple[int, int, float]]:
         """[(rank, vec_id, cosine)] over the query's bucket, ranked by
         (ROUND(cosine,6) DESC, vec_id ASC) — ann_lsh_topk's exact rules."""
+        if not self.n_vectors:  # empty index (meta dim 0 — no planes)
+            return []
         qv = np.asarray(qv, dtype=np.float64)
         ids, mat, norms = self._bucket(self.signature(qv))
         if exclude_id is not None:
@@ -126,6 +129,8 @@ class IvfService:
 
     def probe_lists(self, qv: np.ndarray, nprobe: int) -> list[int]:
         """The nprobe nearest lists by (ROUND(cos,6) DESC, list_id ASC)."""
+        if not len(self._cents):  # empty index: no centroids to probe
+            return []
         qv = np.asarray(qv, dtype=np.float64)
         nq = float(np.cumsum(qv * qv)[-1]) if len(qv) else 0.0
         dots = _seq_dot(self._cents, np.broadcast_to(qv, self._cents.shape))

@@ -49,12 +49,20 @@ def build_ann_index(
         F.count(F.lit(1)).alias("n"),
         F.max(F.size("embedding")).alias("dim"),
     ).collect()[0]
-    n_buckets = spark.read.parquet(os.path.join(out_dir, "vectors")).select(
-        "sig"
-    ).distinct().count()
+    # empty input (a vectorless shard / day-0 rebuild): the partitioned
+    # write leaves a fileless dir, so the bucket-count read-back cannot
+    # infer a schema — and max(size) aggregates to NULL
+    n_buckets = (
+        spark.read.parquet(os.path.join(out_dir, "vectors"))
+        .select("sig")
+        .distinct()
+        .count()
+        if int(row["n"])
+        else 0
+    )
     meta = {
         "n_vectors": int(row["n"]),
-        "dim": int(row["dim"]),
+        "dim": int(row["dim"]) if row["dim"] is not None else 0,
         "n_planes": int(n_planes),
         "fixed_point": int(FIXED_POINT),
         "n_buckets_used": int(n_buckets),
@@ -104,7 +112,7 @@ def build_ivf_index(
     ).collect()[0]
     meta = {
         "n_vectors": int(row["n"]),
-        "dim": int(row["dim"]),
+        "dim": int(row["dim"]) if row["dim"] is not None else 0,
         "n_lists": int(n_lists),
     }
     spark.createDataFrame(
