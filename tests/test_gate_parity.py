@@ -122,3 +122,47 @@ def test_gate_registry_within_driver_cap():
     q = e.queries()
     assert len(q) <= e.DRIVER_GATE_CAP
     assert "mm_frame_checksums" in q
+
+
+def test_m3_round5_tagged_paths_engage(spark):
+    """The round-5 tags on the m3 gates must be REAL routing, not comments:
+    the disjunctive gate's reader engages the within-query parallel decode
+    on every gate query, and the conjunctive gate serves from an
+    incremental-merge output (not a from-scratch build). Either regressing
+    to the plain path would keep the oracle green while silently dropping
+    the round-5 operators from the driver's correctness record."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from websearchengine_spark.operators.wand import BlockIndexReader
+    from websearchengine_spark.plans import gate_queries as g
+
+    # disjunctive tag: the gate's reader parameters force the parallel route
+    root = g._serving_index(spark, SF_DIR)
+    reader = BlockIndexReader(root, parallel_workers=2, parallel_df_threshold=1)
+    try:
+        serial = BlockIndexReader(root)
+        for _, q in g.GATE_QUERIES:
+            hits = reader.search(q, conjunctive=False, k=10)
+            assert reader.last_parallel, q
+            assert hits == serial.search(q, conjunctive=False, k=10), q
+    finally:
+        reader.close()
+
+    # conjunctive tag: the index the gate serves from is a merge output
+    mroot = g._serving_index_merged(spark, SF_DIR)
+    ckpt = [
+        r
+        for f in glob.glob(os.path.join(mroot, "checkpoints", "*.parquet"))
+        for r in pq.read_table(f).to_pylist()
+    ]
+    assert ckpt and all("merge" in str(r["build_id"]) for r in ckpt), ckpt
+    # and it answers exactly like the from-scratch index
+    mreader = BlockIndexReader(mroot)
+    sreader = BlockIndexReader(root)
+    for _, q in g.GATE_QUERIES:
+        assert mreader.search(q, conjunctive=True, k=10) == sreader.search(
+            q, conjunctive=True, k=10
+        ), q

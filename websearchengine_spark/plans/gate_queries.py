@@ -810,6 +810,24 @@ SELECT query_id, rank, doc_id, score FROM (
 
 
 _SERVING_INDEX_CACHE: dict[str, str] = {}
+_SERVING_MERGED_CACHE: dict[str, str] = {}
+
+
+def _gate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → transcripts projection shared by every gate index build:
+    one conversation, turn_idx = doc_id → the engine's dense docID
+    assignment (rank in (conv_id, turn_idx) order) is the identity, so
+    index docIDs line up with documents.doc_id INCLUDING the score-tie
+    doc_id-ascending tie-break the oracle ranks by."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.lit("c").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.current_timestamp().alias("ts"),
+    )
 
 
 def _serving_index(spark: SparkSession, sf_dir: str) -> str:
@@ -820,25 +838,48 @@ def _serving_index(spark: SparkSession, sf_dir: str) -> str:
 
         from websearchengine_spark.plans.block_index import build_block_index
 
-        docs = _docs(spark, sf_dir)
-        # one conversation, turn_idx = doc_id → the engine's dense docID
-        # assignment (rank in (conv_id, turn_idx) order) is the identity,
-        # so index docIDs line up with documents.doc_id INCLUDING the
-        # score-tie doc_id-ascending tie-break the oracle ranks by
-        transcripts = docs.select(
-            F.lit("c").alias("conv_id"),
-            F.col("doc_id").cast("int").alias("turn_idx"),
-            F.lit("user").alias("role"),
-            F.col("text"),
-            F.lit(None).cast("string").alias("tool"),
-            F.current_timestamp().alias("ts"),
-        )
+        transcripts = _gate_transcripts(spark, sf_dir)
         out = tempfile.mkdtemp(prefix="wse_gate_idx_")
         build_block_index(
             transcripts, out, resume=False, n_buckets=8, num_partitions=8
         )
         _SERVING_INDEX_CACHE[sf_dir] = out
     return _SERVING_INDEX_CACHE[sf_dir]
+
+
+def _serving_index_merged(spark: SparkSession, sf_dir: str) -> str:
+    """Round-5 tagged variant of the M3 index: the SAME corpus absorbed as
+    base (first ~80% of docIDs) + delta (the rest) through the incremental
+    index merge (the merge_index.cpp:394-476 analogue) instead of one
+    from-scratch build. Arrival-blocked numbering keeps global docIDs ==
+    documents.doc_id (delta's local ranks shift by base.n_docs == split),
+    and the merge is content-identical to a from-scratch union build in
+    this regime (pinned in tests/test_merge_index.py), so the gate serves
+    the SAME answers against the UNCHANGED DuckDB oracle — the driver's
+    hash check now covers the merge path end-to-end."""
+    if sf_dir not in _SERVING_MERGED_CACHE:
+        import tempfile
+
+        from websearchengine_spark.plans.block_index import build_block_index
+        from websearchengine_spark.plans.merge_index import merge_block_indexes
+
+        transcripts = _gate_transcripts(spark, sf_dir)
+        n_docs = transcripts.count()
+        split = max(1, (n_docs * 4) // 5)  # delta = last ~20% of docIDs
+        base_dir = tempfile.mkdtemp(prefix="wse_gate_base_")
+        delta_dir = tempfile.mkdtemp(prefix="wse_gate_delta_")
+        out = tempfile.mkdtemp(prefix="wse_gate_merged_")
+        build_block_index(
+            transcripts.filter(F.col("turn_idx") < split),
+            base_dir, resume=False, n_buckets=8, num_partitions=8,
+        )
+        build_block_index(
+            transcripts.filter(F.col("turn_idx") >= split),
+            delta_dir, resume=False, n_buckets=8, num_partitions=8,
+        )
+        merge_block_indexes(spark, base_dir, delta_dir, out, n_buckets=8)
+        _SERVING_MERGED_CACHE[sf_dir] = out
+    return _SERVING_MERGED_CACHE[sf_dir]
 
 
 def _q_serving(conjunctive: bool):
@@ -848,15 +889,32 @@ def _q_serving(conjunctive: bool):
         block-max WAND hybrid, bounded heap) — must equal the same DuckDB
         oracle as the exhaustive DataFrame path, because docID = rank of
         (conv_id=source, turn_idx=doc_id) = documents.doc_id (dense,
-        0-based, source-then-doc_id is doc_id order in the gate tables)."""
+        0-based, source-then-doc_id is doc_id order in the gate tables).
+
+        Round-5 tagged variants (same oracle, rank-identical by invariant):
+        the CONJUNCTIVE gate serves from a base+delta MERGED index (the
+        incremental-merge path), the DISJUNCTIVE gate forces the
+        within-query parallel decode (doc-range-sharded TAAT over a fork
+        pool, bitwise-equal merge) — so the driver's hash check covers both
+        round-5 serving-side operators every round."""
         from websearchengine_spark.operators.wand import BlockIndexReader
 
-        root = _serving_index(spark, sf_dir)
-        reader = BlockIndexReader(root)
+        if conjunctive:
+            root = _serving_index_merged(spark, sf_dir)
+            reader = BlockIndexReader(root)
+        else:
+            root = _serving_index(spark, sf_dir)
+            reader = BlockIndexReader(
+                root, parallel_workers=2, parallel_df_threshold=1
+            )
         rows = []
-        for qid, q in GATE_QUERIES:
-            for rank, doc_id, score in reader.search(q, conjunctive=conjunctive, k=10):
-                rows.append((qid, rank, doc_id, round(score, 6)))
+        try:
+            for qid, q in GATE_QUERIES:
+                hits = reader.search(q, conjunctive=conjunctive, k=10)
+                for rank, doc_id, score in hits:
+                    rows.append((qid, rank, doc_id, round(score, 6)))
+        finally:
+            reader.close()
         return spark.createDataFrame(
             rows, "query_id long, rank long, doc_id long, score double"
         )
