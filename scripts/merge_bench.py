@@ -104,6 +104,13 @@ def main(argv: list[str] | None = None) -> int:
             delta_dirs.append(f"{work}/d{i}")
         out["delta_postings_total"] = delta_postings
 
+        # untimed warm-up: the first merge in a JVM pays JIT + codepath
+        # first-touch for the merge-specific stages (blocks→runs mapInArrow,
+        # leaf parquet reads) — without it whichever strategy runs first
+        # would eat that cost and bias the A/B
+        merge_block_indexes(spark, f"{work}/base", delta_dirs[0],
+                            f"{work}/warmup", build_id="warmup")
+
         # chained 2-way: base absorbs the deltas one at a time
         t0 = time.time()
         cur = f"{work}/base"

@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="output buckets (default: the base index's)")
     p.add_argument("--num-partitions", type=int, default=None)
     p.add_argument("--hot-df-threshold", type=int, default=100_000)
+    p.add_argument("--drop-texts", action="store_true",
+                   help="deliberately drop the texts sidecar from the "
+                        "merged index (disables snippet serving; the only "
+                        "way to merge mixed texts/textless inputs)")
     args = p.parse_args(argv)
     if (args.delta is None) == (args.staging is None):
         p.error("exactly one of --delta / --staging is required")
@@ -69,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.n_buckets,
             hot_df_threshold=args.hot_df_threshold,
             num_partitions=args.num_partitions,
+            drop_texts=args.drop_texts,
         )
     else:
         from websearchengine_spark.streaming.ingest import compact_incremental

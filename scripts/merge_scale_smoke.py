@@ -76,7 +76,6 @@ def main() -> int:
                                  ("delta", DELTA_REP, "d~")):
             ipath = os.path.join(root, f"in_{tag}")
             n = _materialize(spark, bench, rep, prefix, ipath)
-            t0 = time.time()
             wall, tput, metrics = bench._timed_build(
                 spark, spark.read.parquet(ipath), n,
                 os.path.join(root, f"idx_{tag}"), f"msmoke-{tag}",

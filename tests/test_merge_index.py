@@ -649,3 +649,85 @@ def test_compact_incremental_inherits_store_texts(spark, tmp_path):
     merged = pq.read_table(str(tmp_path / "merged" / "texts")).to_pandas()
     assert sorted(merged["doc_id"]) == list(range(24))
     assert merged["text"].str.startswith("the ").all()
+
+
+def test_merge_all_empty_inputs_preserve_texts_sidecar(spark, tmp_path):
+    """When EVERY merge input is empty, the (fileless) texts sidecar dir is
+    the only carrier of the store_texts decision — the merge must keep it,
+    or the day-0 chain (empty texts-base + quiet-window delta → compact →
+    real docs arrive) silently produces a permanently snippet-less index:
+    compact_incremental infers the next delta's store_texts from the merged
+    base's sidecar presence."""
+    import os
+
+    kw = dict(resume=False, n_buckets=4, num_partitions=2)
+    empty = spark.createDataFrame([], SCHEMA)
+    build_block_index(empty, str(tmp_path / "e_texts"), build_id="a",
+                      store_texts=True, **kw)
+    build_block_index(empty, str(tmp_path / "e_plain"), build_id="b",
+                      store_texts=False, **kw)
+    m = merge_block_indexes(
+        spark, str(tmp_path / "e_texts"), str(tmp_path / "e_plain"),
+        str(tmp_path / "m_empty"),
+    )
+    assert m.n_docs == 0
+    assert os.path.isdir(str(tmp_path / "m_empty" / "texts"))
+    # and the preserved decision flows into the next incremental absorb:
+    # a real delta merged on top serves snippet texts end-to-end
+    build_block_index(_tdf(spark, "a", 2), str(tmp_path / "d_real"),
+                      build_id="c", store_texts=True, **kw)
+    merge_block_indexes(
+        spark, str(tmp_path / "m_empty"), str(tmp_path / "d_real"),
+        str(tmp_path / "m_real"),
+    )
+    import pyarrow.parquet as pq
+
+    merged = pq.read_table(str(tmp_path / "m_real" / "texts")).to_pandas()
+    assert len(merged) == 8 and sorted(merged["doc_id"]) == list(range(8))
+
+
+def test_merge_drop_texts_is_the_deliberate_opt_out(spark, tmp_path):
+    """drop_texts=True turns the mixed-sidecar hard error into a deliberate
+    snippet-serving drop (the only way to merge a texts-carrying input with
+    one that cannot carry a sidecar, e.g. a table-identifier input); the
+    merged postings still serve rank-correct."""
+    import os
+
+    kw = dict(resume=False, n_buckets=4, num_partitions=2)
+    build_block_index(_tdf(spark, "a", 3), str(tmp_path / "base"),
+                      build_id="b", store_texts=True, **kw)
+    build_block_index(_tdf(spark, "b", 2), str(tmp_path / "delta_nt"),
+                      build_id="d", store_texts=False, **kw)
+    m = merge_block_indexes(
+        spark, str(tmp_path / "base"), str(tmp_path / "delta_nt"),
+        str(tmp_path / "m_drop"), drop_texts=True,
+    )
+    assert m.n_docs == 20
+    assert not os.path.isdir(str(tmp_path / "m_drop" / "texts"))
+    from websearchengine_spark.operators.wand import BlockIndexReader
+
+    r = BlockIndexReader(str(tmp_path / "m_drop"))
+    assert len(r.search("the", conjunctive=False, k=5)) == 5
+
+
+def test_merge_symlink_alias_inputs_rejected(spark, tmp_path):
+    """A symlink alias of an input must not evade the duplicate-input or
+    in-place-output guards — merging an index with itself doubles df/cf and
+    violates the disjoint-corpora contract silently."""
+    import os
+
+    kw = dict(resume=False, n_buckets=4, num_partitions=2)
+    build_block_index(_tdf(spark, "a", 2), str(tmp_path / "idx"),
+                      build_id="b", **kw)
+    alias = str(tmp_path / "idx_alias")
+    os.symlink(str(tmp_path / "idx"), alias)
+    with pytest.raises(ValueError, match="duplicate input"):
+        merge_block_indexes(spark, str(tmp_path / "idx"), alias,
+                            str(tmp_path / "m"))
+    out_alias = str(tmp_path / "out_alias")
+    os.symlink(str(tmp_path / "idx"), out_alias)
+    build_block_index(_tdf(spark, "b", 2), str(tmp_path / "idx2"),
+                      build_id="c", **kw)
+    with pytest.raises(ValueError, match="NEW location"):
+        merge_block_indexes(spark, str(tmp_path / "idx"),
+                            str(tmp_path / "idx2"), out_alias)

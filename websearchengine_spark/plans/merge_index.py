@@ -183,6 +183,7 @@ def merge_block_indexes(
     hot_df_threshold: int = 100_000,
     target_group_size: int = 50_000,
     num_partitions: int | None = None,
+    drop_texts: bool = False,
 ) -> BuildMetrics:
     """Merge two block indexes into ``out_dir``. Base docIDs are kept;
     delta docIDs shift by ``base.n_docs`` (arrival-blocked numbering — see
@@ -198,6 +199,7 @@ def merge_block_indexes(
         hot_df_threshold=hot_df_threshold,
         target_group_size=target_group_size,
         num_partitions=num_partitions,
+        drop_texts=drop_texts,
     )
 
 
@@ -211,6 +213,7 @@ def merge_many_block_indexes(
     hot_df_threshold: int = 100_000,
     target_group_size: int = 50_000,
     num_partitions: int | None = None,
+    drop_texts: bool = False,
 ) -> BuildMetrics:
     """k-way merge of ``input_dirs`` (ordered) into ``out_dir`` — the
     reference's N-input shape (merge_index.cpp:363-407 opens EVERY partial
@@ -227,7 +230,9 @@ def merge_many_block_indexes(
         raise ValueError("merge needs at least two input indexes")
 
     def _norm(p: str) -> str:
-        return p if is_table_identifier(p) else os.path.abspath(p)
+        # realpath, not abspath: a symlink alias of an input must not evade
+        # the duplicate-input / in-place-output checks below
+        return p if is_table_identifier(p) else os.path.realpath(p)
 
     normed = [_norm(d) for d in input_dirs]
     if len(set(normed)) != len(normed):
@@ -375,12 +380,21 @@ def merge_many_block_indexes(
     # the union preserves each side's clustering and each index's shifted
     # ids all sort after the previous index's). Empty inputs contribute no
     # texts regardless, so whether they carry the (fileless) sidecar dir is
-    # irrelevant. A MIXED set of non-empty inputs is an error, not a silent
-    # skip: the natural failure is a nightly delta built without
-    # store_texts merged into a snippets-enabled base — dropping the
-    # sidecar would silently break snippet serving on the merged index.
-    if not is_table_identifier(out_dir):
-        has_texts = [os.path.isdir(p.texts) for p in in_ps]
+    # irrelevant — but when EVERY input is empty the sidecar dir is the only
+    # carrier of the store_texts decision, so it must survive the merge
+    # (compact_incremental infers the next delta's store_texts from it).
+    # A MIXED set of non-empty inputs is an error, not a silent skip: the
+    # natural failure is a nightly delta built without store_texts merged
+    # into a snippets-enabled base — dropping the sidecar would silently
+    # break snippet serving on the merged index. ``drop_texts=True`` is the
+    # deliberate opt-out (also the only way to merge a texts-carrying input
+    # with a table-identifier input, which cannot carry a filesystem
+    # sidecar).
+    if not is_table_identifier(out_dir) and not drop_texts:
+        has_texts = [
+            (not is_table_identifier(d)) and os.path.isdir(p.texts)
+            for d, p in zip(input_dirs, in_ps)
+        ]
         nonempty_have = [
             h for h, c in zip(has_texts, counts) if c > 0
         ]
@@ -389,9 +403,14 @@ def merge_many_block_indexes(
                 "mixed texts sidecars: some non-empty inputs carry texts/ "
                 "and some do not — the merged index would silently lose "
                 "snippet serving; build every delta with store_texts=True "
-                "(streaming.compact_incremental inherits it from the base)"
+                "(streaming.compact_incremental inherits it from the base), "
+                "or pass drop_texts=True to deliberately drop snippet "
+                "serving from the merged index"
             )
-        if nonempty_have and all(nonempty_have):
+        # all-True among non-empty inputs, or (all inputs empty) any carrier
+        if (nonempty_have and all(nonempty_have)) or (
+            not nonempty_have and any(has_texts)
+        ):
             with_texts = [
                 (p, s) for p, s, h in zip(in_ps, shifts, has_texts) if h
             ]
