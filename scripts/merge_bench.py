@@ -55,6 +55,8 @@ def main(argv: list[str] | None = None) -> int:
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     p.add_argument("--work-dir", default=None)
     args = p.parse_args(argv)
+    if args.deltas < 1:
+        p.error("--deltas must be >= 1 (the warm-up and A/B need a delta)")
 
     import bench  # repo-root bench: corpus loader/replicator (same shapes)
     from websearchengine_spark.operators.wand import BlockIndexReader

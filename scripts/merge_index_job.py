@@ -82,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.staging, args.base, args.output,
             build_id=args.build_id,
             hot_df_threshold=args.hot_df_threshold,
+            drop_texts=args.drop_texts,
             **({"n_buckets": args.n_buckets} if args.n_buckets else {}),
             **({"num_partitions": args.num_partitions}
                if args.num_partitions else {}),

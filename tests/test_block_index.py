@@ -109,7 +109,20 @@ def test_eviction_pressure_never_changes_results(
                 assert math.isclose(es, asc, rel_tol=1e-9, abs_tol=1e-12), q
 
 
-def test_concurrent_search_is_rank_identical(index_dir, oracle, fixture):
+@pytest.mark.parametrize(
+    "reader_kw",
+    [
+        pytest.param(
+            dict(result_cache=8, posting_cache=8, rg_cache=2), id="serial"
+        ),
+        pytest.param(
+            dict(result_cache=4, posting_cache=8, rg_cache=2,
+                 parallel_workers=2, parallel_df_threshold=1),
+            id="parallel_pool",
+        ),
+    ],
+)
+def test_concurrent_search_is_rank_identical(index_dir, oracle, fixture, reader_kw):
     """C3 (thread-safe LRU, evaluation.cpp:84-121): one reader shared by
     16 threads — the reference's evaluator-pool shape — must stay rank-
     and score-identical to the oracle on every query. The LRU is lock-
@@ -118,12 +131,16 @@ def test_concurrent_search_is_rank_identical(index_dir, oracle, fixture):
     eviction costs a duplicate fetch, never a wrong answer. Tiny caches
     maximize eviction races; each thread runs the full query stream in a
     different rotation so threads constantly push each other's entries
-    out."""
+    out.
+
+    The parallel_pool variant is the serve_http --parallel-workers
+    deployment shape: every TAAT query fans out over the ONE shared fork
+    pool (Pool.map called from many threads at once) — interleaved shard
+    results attributed to the wrong query, or a corrupted task queue,
+    would flip rankings only under concurrency."""
     from concurrent.futures import ThreadPoolExecutor
 
-    r = BlockIndexReader(
-        index_dir, result_cache=8, posting_cache=8, rg_cache=2
-    )
+    r = BlockIndexReader(index_dir, **reader_kw)
     queries = list(fixture.queries["query"])
     expected = {
         (q, conj): oracle.search(q, conjunctive=conj, k=10)
@@ -148,8 +165,11 @@ def test_concurrent_search_is_rank_identical(index_dir, oracle, fixture):
                         break
         return bad
 
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        results = list(pool.map(worker, range(16)))
+    try:
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            results = list(pool.map(worker, range(16)))
+    finally:
+        r.close()
     assert all(not b for b in results), [b[:1] for b in results if b]
 
 
@@ -673,49 +693,3 @@ def test_texts_sidecar_matches_transcripts_fallback(spark, fixture, tmp_path_fac
         assert ahi < blo
     n_docs = sum(hi - lo + 1 for lo, hi in ranges)
     assert n_docs == reader.n_docs
-
-
-def test_concurrent_parallel_decode_is_rank_identical(index_dir, oracle, fixture):
-    """The serve_http --parallel-workers deployment shape: a
-    ThreadingHTTPServer dispatches concurrent queries onto ONE reader whose
-    TAAT route fans each query out over the SHARED fork pool (Pool.map is
-    called from many threads at once). Results must stay rank- and
-    score-identical to the oracle — interleaved shard results attributed to
-    the wrong query, or a corrupted task queue, would flip rankings only
-    under concurrency; tiny caches keep eviction races in play too."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    r = BlockIndexReader(
-        index_dir, result_cache=4, posting_cache=8, rg_cache=2,
-        parallel_workers=2, parallel_df_threshold=1,
-    )
-    queries = list(fixture.queries["query"])
-    expected = {
-        (q, conj): oracle.search(q, conjunctive=conj, k=10)
-        for q in queries
-        for conj in (True, False)
-    }
-
-    def worker(offset):
-        bad = []
-        n = len(queries)
-        for i in range(n):
-            q = queries[(i + offset) % n]
-            conj = (i + offset) % 2 == 0
-            got = r.search(q, conjunctive=conj, k=10)
-            exp = expected[(q, conj)]
-            if [(rk, d) for rk, d, _ in got] != [(rk, d) for rk, d, _ in exp]:
-                bad.append((q, conj, got, exp))
-            else:
-                for (_, _, es), (_, _, asc) in zip(exp, got):
-                    if not math.isclose(es, asc, rel_tol=1e-9, abs_tol=1e-12):
-                        bad.append((q, conj, got, exp))
-                        break
-        return bad
-
-    try:
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            results = list(pool.map(worker, range(8)))
-    finally:
-        r.close()
-    assert all(not b for b in results), [b[:1] for b in results if b]

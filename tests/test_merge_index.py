@@ -709,6 +709,23 @@ def test_merge_drop_texts_is_the_deliberate_opt_out(spark, tmp_path):
     r = BlockIndexReader(str(tmp_path / "m_drop"))
     assert len(r.search("the", conjunctive=False, k=5)) == 5
 
+    # a REUSED out_dir must not keep a previous merge's sidecar around:
+    # every other table is overwritten, so stale texts keyed by the old
+    # docIDs would serve wrong snippets and flip compact_incremental's
+    # store_texts inference back on
+    build_block_index(_tdf(spark, "c", 2), str(tmp_path / "delta_t"),
+                      build_id="e", store_texts=True, **kw)
+    merge_block_indexes(
+        spark, str(tmp_path / "base"), str(tmp_path / "delta_t"),
+        str(tmp_path / "m_reuse"),
+    )
+    assert os.path.isdir(str(tmp_path / "m_reuse" / "texts"))
+    merge_block_indexes(
+        spark, str(tmp_path / "base"), str(tmp_path / "delta_nt"),
+        str(tmp_path / "m_reuse"), drop_texts=True,
+    )
+    assert not os.path.isdir(str(tmp_path / "m_reuse" / "texts"))
+
 
 def test_merge_symlink_alias_inputs_rejected(spark, tmp_path):
     """A symlink alias of an input must not evade the duplicate-input or
@@ -731,3 +748,57 @@ def test_merge_symlink_alias_inputs_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="NEW location"):
         merge_block_indexes(spark, str(tmp_path / "idx"),
                             str(tmp_path / "idx2"), out_alias)
+
+
+def test_merge_empty_texts_carrier_vs_nonempty_textless_raises(spark, tmp_path):
+    """An EMPTY store_texts=True base is still the carrier of the snippets
+    decision: merging a NON-EMPTY textless delta into it must be the same
+    hard error as the non-empty-base case (previously neither the error
+    nor the sidecar write fired, silently losing the decision one
+    input-shape away from the tested one); drop_texts opts out. The error
+    must also fire EAGERLY — before any output table exists — so a retry
+    can never adopt a complete-looking snippet-less out_dir."""
+    import os
+
+    kw = dict(resume=False, n_buckets=4, num_partitions=2)
+    build_block_index(spark.createDataFrame([], SCHEMA),
+                      str(tmp_path / "e_texts"), build_id="a",
+                      store_texts=True, **kw)
+    build_block_index(_tdf(spark, "b", 2), str(tmp_path / "delta_nt"),
+                      build_id="d", store_texts=False, **kw)
+    with pytest.raises(ValueError, match="mixed texts sidecars"):
+        merge_block_indexes(
+            spark, str(tmp_path / "e_texts"), str(tmp_path / "delta_nt"),
+            str(tmp_path / "m_bad"),
+        )
+    assert not os.path.isdir(str(tmp_path / "m_bad" / "blocks")), (
+        "the mixed-sidecar error must fire before any output is written"
+    )
+    m = merge_block_indexes(
+        spark, str(tmp_path / "e_texts"), str(tmp_path / "delta_nt"),
+        str(tmp_path / "m_ok"), drop_texts=True,
+    )
+    assert m.n_docs == 8
+
+
+def test_compact_incremental_drop_texts(spark, tmp_path):
+    """--drop-texts on the staging (compact_incremental) path must reach
+    the merge: the compacted index carries no sidecar and the delta build
+    skips texts instead of inheriting the base's store_texts=True."""
+    import os
+
+    from websearchengine_spark.streaming import ingest
+
+    staging = str(tmp_path / "staging")
+    writer = ingest.make_batch_writer(staging)
+    writer(_tdf(spark, "a", 4), 0)
+    kw = dict(n_buckets=4, num_partitions=2)
+    ingest.compact(spark, staging, str(tmp_path / "base"), resume=False,
+                   build_id="full0", store_texts=True, **kw)
+    writer(_tdf(spark, "b", 2), 1)
+    m = ingest.compact_incremental(
+        spark, staging, str(tmp_path / "base"), str(tmp_path / "merged"),
+        drop_texts=True, **kw,
+    )
+    assert m is not None and m.n_docs == 24
+    assert not os.path.isdir(str(tmp_path / "merged" / "texts"))

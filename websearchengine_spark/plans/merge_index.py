@@ -266,6 +266,39 @@ def merge_many_block_indexes(
     shifts = [sum(counts[:i]) for i in range(len(counts))]
     n_docs = sum(counts)
 
+    # texts-sidecar policy decided EAGERLY (fail before the exchange, not
+    # minutes in — and before out_dir holds a complete-looking snippet-less
+    # index a retry could silently adopt). A carrier is any filesystem
+    # input with a texts/ dir; empty carriers count — an empty
+    # store_texts=True base is still the carrier of the snippets decision,
+    # and merging a non-empty textless delta into it must be the same hard
+    # error as the non-empty base case. ``drop_texts=True`` is the
+    # deliberate opt-out (also the only way to merge texts-carrying inputs
+    # into a table-identifier output, which cannot hold a sidecar).
+    has_texts = [
+        (not is_table_identifier(d)) and os.path.isdir(p.texts)
+        for d, p in zip(input_dirs, in_ps)
+    ]
+    emit_texts = False
+    if not drop_texts and any(has_texts):
+        nonempty_have = [h for h, c in zip(has_texts, counts) if c > 0]
+        if nonempty_have and not all(nonempty_have):
+            raise ValueError(
+                "mixed texts sidecars: some inputs carry texts/ and a "
+                "non-empty input does not — the merged index would "
+                "silently lose snippet serving; build every delta with "
+                "store_texts=True (streaming.compact_incremental inherits "
+                "it from the base), or pass drop_texts=True to "
+                "deliberately drop snippet serving from the merged index"
+            )
+        if is_table_identifier(out_dir):
+            raise ValueError(
+                "texts sidecar cannot be written to a table-identifier "
+                "output; pass drop_texts=True to deliberately drop "
+                "snippet serving from the merged index"
+            )
+        emit_texts = True
+
     # exact avg_dl: integer dl sums from doc_stats — the same number a
     # from-scratch build computes (total_dl / n_docs in one float division)
     in_ds = [
@@ -375,42 +408,15 @@ def merge_many_block_indexes(
         out_p.meta,
         mode="overwrite",
     )
-    # texts sidecar: merged when every NON-EMPTY input carries one
-    # (filesystem layouts; row groups stay contiguous docID ranges because
-    # the union preserves each side's clustering and each index's shifted
-    # ids all sort after the previous index's). Empty inputs contribute no
-    # texts regardless, so whether they carry the (fileless) sidecar dir is
-    # irrelevant — but when EVERY input is empty the sidecar dir is the only
-    # carrier of the store_texts decision, so it must survive the merge
-    # (compact_incremental infers the next delta's store_texts from it).
-    # A MIXED set of non-empty inputs is an error, not a silent skip: the
-    # natural failure is a nightly delta built without store_texts merged
-    # into a snippets-enabled base — dropping the sidecar would silently
-    # break snippet serving on the merged index. ``drop_texts=True`` is the
-    # deliberate opt-out (also the only way to merge a texts-carrying input
-    # with a table-identifier input, which cannot carry a filesystem
-    # sidecar).
-    if not is_table_identifier(out_dir) and not drop_texts:
-        has_texts = [
-            (not is_table_identifier(d)) and os.path.isdir(p.texts)
-            for d, p in zip(input_dirs, in_ps)
-        ]
-        nonempty_have = [
-            h for h, c in zip(has_texts, counts) if c > 0
-        ]
-        if any(nonempty_have) and not all(nonempty_have):
-            raise ValueError(
-                "mixed texts sidecars: some non-empty inputs carry texts/ "
-                "and some do not — the merged index would silently lose "
-                "snippet serving; build every delta with store_texts=True "
-                "(streaming.compact_incremental inherits it from the base), "
-                "or pass drop_texts=True to deliberately drop snippet "
-                "serving from the merged index"
-            )
-        # all-True among non-empty inputs, or (all inputs empty) any carrier
-        if (nonempty_have and all(nonempty_have)) or (
-            not nonempty_have and any(has_texts)
-        ):
+    # texts sidecar: policy (emit_texts) was validated eagerly above; the
+    # write happens here so the sidecar lands after the data tables. Row
+    # groups stay contiguous docID ranges because the union preserves each
+    # side's clustering and each index's shifted ids all sort after the
+    # previous index's. Even when every input is empty the (fileless)
+    # sidecar dir is written: it is the carrier of the store_texts decision
+    # that compact_incremental infers the next delta's build from.
+    if not is_table_identifier(out_dir):
+        if emit_texts:
             with_texts = [
                 (p, s) for p, s, h in zip(in_ps, shifts, has_texts) if h
             ]
@@ -428,6 +434,14 @@ def merge_many_block_indexes(
                 mode="overwrite",
                 options={"parquet.block.size": 256 << 10},
             )
+        else:
+            # a reused out_dir may hold a PREVIOUS merge's sidecar; every
+            # other table is mode="overwrite", so a textless (or
+            # drop_texts) re-merge must not leave stale texts keyed by the
+            # old docIDs behind
+            import shutil
+
+            shutil.rmtree(out_p.texts, ignore_errors=True)
 
     # per-bucket lineage + metrics (merge provenance), same accounting shape
     # as a fresh build's checkpoints: column-pruned stats scan, no payload read

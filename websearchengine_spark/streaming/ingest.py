@@ -229,6 +229,9 @@ def compact_incremental(
     # a duplicate keyword. It only engages when the caller also pins
     # work_dir (the delta checkpoint must survive the restart).
     resume = bool(kwargs.pop("resume", False)) and not own_work
+    # drop_texts is a MERGE option (deliberate snippet-serving drop); it
+    # must not reach build_block_index, and it moots the texts inheritance
+    drop_texts = bool(kwargs.pop("drop_texts", False))
     kwargs.setdefault("block_size", int(base_meta["block_size"]))
     kwargs.setdefault("n_buckets", int(base_meta["n_buckets"]))
     # the delta must also inherit the base's TEXTS sidecar decision: a
@@ -239,7 +242,8 @@ def compact_incremental(
 
     kwargs.setdefault(
         "store_texts",
-        (not is_table_identifier(base_index_dir))
+        (not drop_texts)
+        and (not is_table_identifier(base_index_dir))
         and os.path.isdir(BlockIndexPaths(base_index_dir).texts),
     )
     merge_kwargs = {
@@ -250,6 +254,8 @@ def compact_incremental(
         )
         if k in kwargs
     }
+    if drop_texts:
+        merge_kwargs["drop_texts"] = True
     try:
         delta_dir = os.path.join(work_dir, "delta")
         build_block_index(
