@@ -76,30 +76,30 @@ def main(argv=None) -> int:
     qtype = QueryType(QUERY_TYPES.index(args.query_type))
     if qtype in (QueryType.SEMANTIC, QueryType.RERANKING) and not args.embeddings:
         p.error("--embeddings is required for semantic/rerank query types")
-    engine = ServingEngine(
+    with ServingEngine(
         args.index,
         transcripts_path=args.transcripts,
         embeddings_path=args.embeddings,
         parallel_workers=args.parallel_workers,
-    )
+    ) as engine:
 
-    def run(q: str) -> None:
-        _print_result(
-            engine.search(q, qtype, n_results=args.n_results,
-                          snippet_len=args.snippet_len),
-            args.query_type,
-        )
+        def run(q: str) -> None:
+            _print_result(
+                engine.search(q, qtype, n_results=args.n_results,
+                              snippet_len=args.snippet_len),
+                args.query_type,
+            )
 
-    if args.query is not None:
-        run(args.query)
-        return 0
-    print("query> ", end="", flush=True)
-    for line in sys.stdin:
-        q = line.strip()
-        if q:
-            run(q)
+        if args.query is not None:
+            run(args.query)
+            return 0
         print("query> ", end="", flush=True)
-    print()
+        for line in sys.stdin:
+            q = line.strip()
+            if q:
+                run(q)
+            print("query> ", end="", flush=True)
+        print()
     return 0
 
 

@@ -203,6 +203,8 @@ def main() -> int:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
+    finally:
+        engine.close()
     return 0
 
 

@@ -401,3 +401,49 @@ def test_serving_rerank_matches_dataframe_plan(spark, tmp_path_factory):
         k=8, candidates_k=12,
     )
     assert got == expected
+
+
+def test_serving_engine_close_releases_pool(spark, tmp_path_factory):
+    """ServingEngine lifecycle: the engine owns the reader's parallel-decode
+    pool, so `with ServingEngine(...)` / .close() must terminate the forked
+    workers (daemonic pool children only die with the PROCESS — a long-lived
+    caller constructing engines repeatedly would otherwise accumulate
+    workers for its whole lifetime). close() is idempotent and a no-op for
+    parallel_workers=0 engines."""
+    from websearchengine_spark.operators.query_api import QueryType
+    from websearchengine_spark.operators.serving import ServingEngine
+    from websearchengine_spark.plans.block_index import build_block_index
+
+    base = tmp_path_factory.mktemp("serving_close")
+    tdf = spark.createDataFrame(
+        [("c", i, "user", f"data term{i}", None) for i in range(30)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    idx = str(base / "idx")
+    build_block_index(tdf, idx, resume=False, n_buckets=2, num_partitions=2)
+
+    with ServingEngine(idx, parallel_workers=2) as eng:
+        eng.reader.parallel_df_threshold = 0  # force the pool to engage
+        res = eng.search("data", QueryType.CONJUNCTIVE, n_results=5)
+        assert res["count"] > 0 and eng.reader.last_parallel
+        workers = list(eng.reader._pool._pool)  # noqa: SLF001 — pin liveness
+        assert workers and all(w.is_alive() for w in workers)
+    # __exit__ → close(): pool gone, workers dead
+    assert eng.reader._pool is None
+    for w in workers:
+        w.join(timeout=10)
+    assert not any(w.is_alive() for w in workers)
+    # repeat query after close: served from the C1 result cache, decodes
+    # nothing (last_parallel reset False on the hit)
+    assert eng.search("data", QueryType.CONJUNCTIVE, n_results=5)["cached"]
+    assert not eng.reader.last_parallel
+    # a NEW dense query lazily re-forks — close-then-reuse recreates the
+    # pool rather than failing; a second close() releases it again
+    assert eng.search("term3", QueryType.CONJUNCTIVE, n_results=5)["count"] > 0
+    assert eng.reader.last_parallel and eng.reader._pool is not None
+    eng.close()
+    assert eng.reader._pool is None
+    eng.close()  # idempotent
+
+    plain = ServingEngine(idx)  # parallel_workers=0: nothing to release
+    plain.close()

@@ -91,6 +91,22 @@ class ServingEngine:
         self._sem_cache = _LRU(result_cache)
         self._rerank_cache = _LRU(result_cache)
 
+    def close(self):
+        """Release serving resources — the reader's parallel-decode pool
+        (a no-op for parallel_workers=0 engines, which hold no process
+        resources). Long-lived callers constructing engines repeatedly
+        must close them; daemonic pool workers only die with the PROCESS,
+        so an unclosed pooled engine leaks workers for the caller's
+        lifetime."""
+        self.reader.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
     def _texts_for(self, doc_ids):
         if self.snippets is None:
             return {}
