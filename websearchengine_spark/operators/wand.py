@@ -60,6 +60,16 @@ B = 0.4
 INF = 1 << 62
 
 
+def _tf_component(tfs, dls, avg_dl):
+    """THE BM25 tf-component float expression tree (main.cpp:446-450) —
+    scalar or numpy-array operands. Every scorer (per-posting ``contrib``,
+    TAAT, range-sharded TAAT, the WAND decode loop) must route through this
+    ONE site: cross-path rank identity holds at ulp boundaries only while
+    the expression tree is literally identical everywhere, and hand-kept
+    copies drift."""
+    return tfs * (K1 + 1) / (tfs + K1 * (1 - B + B * dls / avg_dl))
+
+
 class _BucketRGs:
     """Row-group-pruned reads over one bucket directory of a hive-
     partitioned index table.
@@ -374,8 +384,7 @@ class TermCursor:
         expression tree to the oracle (main.cpp:446-450)."""
         tf = float(self.tfs[self.pos])
         dl = float(self.dls[self.pos])
-        tf_c = tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / self.avg_dl))
-        return self.idf * tf_c
+        return self.idf * _tf_component(tf, dl, self.avg_dl)
 
     def block_ub(self) -> float:
         i = self.bi
@@ -455,6 +464,10 @@ class BlockIndexReader:
         self._pool = None  # spawned lazily; see _ensure_pool / close
         self._pool_lock = threading.Lock()
         self.last_parallel = False  # instrumentation for tests/bench
+        # postings decoded+scored by the LAST block-max WAND evaluation;
+        # -1 = the last query did not complete on the WAND path (TAAT
+        # routing, gallop, cache hit, or bail-out) — reset per search()
+        self.last_wand_scored = -1
         # terms with at most this many superblocks are leaf-prefetched WHOLE
         # in the first read that touches them (≤ 8·16384 ≈ 128k postings —
         # a bounded, scale-safe eager read that collapses the lazy per-
@@ -847,6 +860,7 @@ class BlockIndexReader:
         # reset BEFORE the cache check: a hit decodes nothing, so the
         # instrumentation must not report the previous query's routing
         self.last_parallel = False
+        self.last_wand_scored = -1
         cached = self._result_cache.get_(cache_key)
         if cached is not None:
             return cached
@@ -917,8 +931,7 @@ class BlockIndexReader:
         for t in sorted(arrays):
             ids, tfs, dls = arrays[t]
             idf = self._idf(int(lex[t]))
-            tf_c = tfs * (K1 + 1) / (tfs + K1 * (1 - B + B * dls / self.avg_dl))
-            per.append((ids, idf * tf_c))
+            per.append((ids, idf * _tf_component(tfs, dls, self.avg_dl)))
             total += len(ids)
         if not per:
             return []
@@ -1077,8 +1090,7 @@ class BlockIndexReader:
                 continue
             ids, tfs, dls = ids[a:b], tfs[a:b], dls[a:b]
             idf = self._idf(int(lex[t]))
-            tf_c = tfs * (K1 + 1) / (tfs + K1 * (1 - B + B * dls / self.avg_dl))
-            per.append((ids, idf * tf_c))
+            per.append((ids, idf * _tf_component(tfs, dls, self.avg_dl)))
         if not per:
             return empty
         cand = np.unique(np.concatenate([ids for ids, _ in per]))
@@ -1333,10 +1345,7 @@ class BlockIndexReader:
                         dls = vb_decode(
                             b"".join(pt.dls_vb[j] for pt, j in zip(mparts, mjs))
                         ).astype(np.float64)
-                        tfc = tfs * (K1 + 1) / (
-                            tfs + K1 * (1 - B + B * dls / self.avg_dl)
-                        )
-                        contrib_all = idf * tfc
+                        contrib_all = idf * _tf_component(tfs, dls, self.avg_dl)
                         for jj, ci in enumerate(miss):
                             s0, s1 = int(st[jj]), int(st[jj] + mns[jj])
                             dec[(int(sb_of[ci]), int(j_of[ci]))] = (
@@ -1439,7 +1448,11 @@ class BlockIndexReader:
         present = sorted(t for t in terms if t in lex)
         arrays = self._fetch_arrays(present)
         out: dict[int, list[tuple[str, int]]] = {int(d): [] for d in doc_ids}
-        for t in present:
+        # iterate the FETCHED terms (sorted, ⊆ present): a lexicon row with
+        # no posting blocks (partially-written index) must degrade to a
+        # missing freq pair, not a KeyError mid-assembly (match_count
+        # already guards the same way)
+        for t in sorted(arrays):
             ids, tfs, _dls = arrays[t]
             for d in out:
                 i = int(np.searchsorted(ids, d))
@@ -1471,11 +1484,21 @@ class BlockIndexReader:
         forced to 0 (main.cpp:547-551)."""
         terms = clean_query(query)
         cache_key = (" ".join(terms), conjunctive, n_results)
-        was_cached = cache_key in self._result_cache
         t0 = time.perf_counter()
-        ranked = self.search(query, conjunctive=conjunctive, k=n_results)
+        # ONE locked probe (C3 / the get2 invariant): a separate `in` +
+        # search()'s get_ lets a concurrent eviction/put flip the reported
+        # `cached` flag; probing and taking the value atomically makes the
+        # flag exact — hit ⇔ this response was served from the cache
+        hit, ranked = self._result_cache.get2(cache_key)
+        if hit:
+            # mirror search()'s hit path: a cache hit decodes nothing, so
+            # the routing instrumentation must not report the prior query
+            self.last_parallel = False
+            self.last_wand_scored = -1
+        else:
+            ranked = self.search(query, conjunctive=conjunctive, k=n_results)
         elapsed_us = (time.perf_counter() - t0) * 1e6
-        result = {"cached": was_cached, "time": elapsed_us, "count": 0, "data": []}
+        result = {"cached": hit, "time": elapsed_us, "count": 0, "data": []}
         if not ranked:
             return result
         result["count"] = self.match_count(query, conjunctive=conjunctive)
