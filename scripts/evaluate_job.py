@@ -116,7 +116,7 @@ def main(argv=None) -> int:
             queries_df = read_queries(spark, args.queries)
             qrels_df = read_qrels(spark, args.qrels)
             row = batch_mrr(
-                spark, queries_df, qrels_df, args.index, n=args.n,
+                queries_df, qrels_df, args.index, n=args.n,
                 num_partitions=args.num_partitions,
             ).collect()[0]
             mrr, n_q = float(row["mrr"]), int(row["n_queries"])

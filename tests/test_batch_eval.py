@@ -64,7 +64,7 @@ def test_batch_mrr_matches_driver_loop(spark, index_dir, queries_df):
     qrels_df = top20.groupBy("query_id").agg(F.min("doc_id").alias("rel_doc"))
     qrels = {r["query_id"]: r["rel_doc"] for r in qrels_df.collect()}
 
-    row = batch_mrr(spark, qdf, qrels_df, index_dir, n=10).collect()[0]
+    row = batch_mrr(qdf, qrels_df, index_dir, n=10).collect()[0]
     reader = BlockIndexReader(index_dir)
     expected = reader.mrr_at([(q, t) for q, t in rows if q in qrels], qrels, n=10)
     assert row["n_queries"] == len(qrels)
@@ -87,7 +87,7 @@ def test_batch_mrr_denominator_matches_driver_loop_on_misaligned_qrels(
     )
     qrels = {r["query_id"]: r["rel_doc"] for r in qrels_df.collect()}
     row = batch_mrr(
-        spark, qdf, qrels_df.union(phantom), index_dir, n=10
+        qdf, qrels_df.union(phantom), index_dir, n=10
     ).collect()[0]
     reader = BlockIndexReader(index_dir)
     expected = reader.mrr_at([(q, t) for q, t in rows if q in qrels], qrels, n=10)
@@ -104,10 +104,10 @@ def test_batch_mrr_production_twin(spark, index_dir, queries_df):
                          num_partitions=4)
     qrels_df = top20.groupBy("query_id").agg(F.min("doc_id").alias("rel_doc"))
 
-    prod_df = batch_mrr(spark, qdf, qrels_df, index_dir, n=10, exact=False)
+    prod_df = batch_mrr(qdf, qrels_df, index_dir, n=10, exact=False)
     assert "collect_list" not in prod_df._jdf.queryExecution().toString()
     prod = prod_df.collect()[0]
-    exact = batch_mrr(spark, qdf, qrels_df, index_dir, n=10).collect()[0]
+    exact = batch_mrr(qdf, qrels_df, index_dir, n=10).collect()[0]
     assert prod["n_queries"] == exact["n_queries"]
     assert math.isclose(prod["mrr"], exact["mrr"], abs_tol=1.5e-6)
 

@@ -20,12 +20,19 @@ driver loop, no collect of anything bigger than the final metric.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # per-worker-process reader cache: Python workers are reused across tasks,
-# so the index-open + LRU warmup amortizes over the whole evaluation
+# so the index-open + LRU warmup amortizes over the whole evaluation.
+# BOUNDED, evicted readers closed: a reader can own a forked decode pool
+# and open file handles, so an unbounded cache in a long-lived worker
+# evaluating a stream of (re)built indexes would accumulate leaked worker
+# processes/fds for the process's lifetime (the ServingEngine close()
+# contract, applied here). Workers run one task at a time, so closing the
+# evicted reader cannot race an in-flight search.
 _READERS: dict = {}
+_READERS_CAP = 4
 
 
 def _get_reader(root: str, **kwargs):
@@ -35,6 +42,8 @@ def _get_reader(root: str, **kwargs):
     reader = _READERS.get(key)
     if reader is None:
         reader = _READERS[key] = BlockIndexReader(root, **kwargs)
+        while len(_READERS) > _READERS_CAP:
+            _READERS.pop(next(iter(_READERS))).close()
     return reader
 
 
@@ -99,7 +108,6 @@ def batch_search(
 
 
 def batch_mrr(
-    spark: SparkSession,
     queries: DataFrame,
     qrels: DataFrame,
     index_root: str,
@@ -113,26 +121,41 @@ def batch_mrr(
     (mrr, n_queries); the mean is an ordered fold by query_id — the same
     deterministic float summation the exhaustive plan and oracle use.
 
-    Denominator = queries that appear in BOTH inputs (inner join) — the
+    Denominator = DISTINCT query_ids that appear in BOTH inputs — the
     reference loops over queries and skips ids without a qrel
     (evaluation.cpp:715-720), and reader.mrr_at does the same, so a qrels
     row whose query_id is absent from ``queries`` contributes nothing
-    instead of deflating the mean.
+    instead of deflating the mean. A query_id with SEVERAL qrel rows
+    (multiple relevant docs, or duplicate rows — representable here though
+    not in the reference's last-wins hash map or reader.mrr_at's dict)
+    counts ONCE, scored by its best-ranked relevant doc; without the
+    per-query reduction the rr⋈evaluated join would cross-multiply and
+    corrupt both the mean's weights and n_queries. Only queries that have
+    a qrel are searched at all — a sparse holdout does not pay top-n
+    evaluation for queries the inner join would discard.
 
     ``exact=True`` (gate/oracle default) folds rr values in query_id order
     for a bit-stable mean; ``exact=False`` is the production twin — plain
     ``F.sum/F.count`` with map-side partial aggregation, the plan for a
     367k-query MS-MARCO-scale eval, equal to the fold up to float
     associativity ulps (the plans/olap.py split applied to this holdout)."""
+    evaluated = (
+        queries.select("query_id")
+        .distinct()
+        .join(qrels.select("query_id").distinct(), "query_id")
+    )
     results = batch_search(
-        queries, index_root, conjunctive=True, k=n, num_partitions=num_partitions
+        queries.join(evaluated, "query_id", "left_semi"),
+        index_root, conjunctive=True, k=n, num_partitions=num_partitions,
     )
     rr = (
         results.join(qrels, "query_id")
         .filter(F.col("doc_id") == F.col("rel_doc"))
-        .select("query_id", (F.lit(1.0) / F.col("rank")).alias("rr"))
+        # best-ranked relevant doc; rr = 1/rank is monotone in rank, so
+        # min(rank) gives exactly the value a single-qrel input yields
+        .groupBy("query_id")
+        .agg((F.lit(1.0) / F.min("rank")).alias("rr"))
     )
-    evaluated = queries.select("query_id").distinct().join(qrels, "query_id")
     per_query = evaluated.join(rr, "query_id", "left").select(
         "query_id", F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr")
     )

@@ -55,19 +55,15 @@ from websearchengine_spark.functions.codec import vb_decode
 from websearchengine_spark.functions.tokenizer import clean_query
 from websearchengine_spark.plans.block_index import BlockIndexPaths, term_bucket
 
-K1 = 0.9
-B = 0.4
+# BM25 parameters and THE shared tf-component expression (plans/build.py):
+# every scorer here (per-posting ``contrib``, TAAT, range-sharded TAAT, the
+# WAND decode loop) routes through the ONE site the block encoder also uses
+# for its stored bounds — cross-path rank identity and the exactness of
+# strict bound < θ pruning hold at ulp boundaries only while the float
+# expression tree is literally identical everywhere.
+from websearchengine_spark.plans.build import B, K1, tf_component as _tf_component
+
 INF = 1 << 62
-
-
-def _tf_component(tfs, dls, avg_dl):
-    """THE BM25 tf-component float expression tree (main.cpp:446-450) —
-    scalar or numpy-array operands. Every scorer (per-posting ``contrib``,
-    TAAT, range-sharded TAAT, the WAND decode loop) must route through this
-    ONE site: cross-path rank identity holds at ulp boundaries only while
-    the expression tree is literally identical everywhere, and hand-kept
-    copies drift."""
-    return tfs * (K1 + 1) / (tfs + K1 * (1 - B + B * dls / avg_dl))
 
 
 class _BucketRGs:

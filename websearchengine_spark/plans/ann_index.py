@@ -40,7 +40,10 @@ def build_ann_index(
     )
     (
         vecs.repartition("sig")
-        .sortWithinPartitions("vec_id")
+        # sig leads: satisfies the writer's partition-order requirement so
+        # no unstable Sort(sig) is inserted over the sorted rows (see
+        # plans/block_index.py blocks write)
+        .sortWithinPartitions("sig", "vec_id")
         .write.partitionBy("sig")
         .mode("overwrite")
         .parquet(os.path.join(out_dir, "vectors"))
@@ -99,7 +102,7 @@ def build_ivf_index(
         e.join(asg, "vec_id")
         .select("list_id", "vec_id", "v")
         .repartition("list_id")
-        .sortWithinPartitions("vec_id")
+        .sortWithinPartitions("list_id", "vec_id")
         .write.partitionBy("list_id")
         .mode("overwrite")
         .parquet(os.path.join(out_dir, "vectors"))

@@ -58,7 +58,7 @@ from websearchengine_spark.functions.codec import (
     vb_decode,
 )
 from websearchengine_spark.functions.tokenizer import tokenize_runs_batch
-from websearchengine_spark.plans.build import B, K1
+from websearchengine_spark.plans.build import tf_component
 from websearchengine_spark.sources.catalog import (
     is_table_identifier,
     read_table,
@@ -189,7 +189,6 @@ def _make_stream_encoder(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    k1, b = K1, B
     if pid_offsets:
         off_arr = np.zeros(max(pid_offsets) + 1, dtype=np.uint64)
         for p, o in pid_offsets.items():
@@ -264,9 +263,10 @@ def _make_stream_encoder(
         gaps[0] = u[0]
         np.subtract(u[1:], u[:-1], out=gaps[1:])
         gaps[starts] = 1
-        # exact BM25 tf-component per posting (float64, same expression
-        # tree as the oracle) — block max/min give tight WAND bounds
-        tfc = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
+        # exact BM25 tf-component per posting (float64, THE shared
+        # expression — plans/build.tf_component, same tree as the oracle
+        # and every serving scorer) — block max/min give tight WAND bounds
+        tfc = tf_component(tfs, dls, avg_dl)
         # bucket once per DISTINCT term (dictionary entry), not per group
         dict_buckets = np.fromiter(
             (term_bucket(s, n_buckets) for s in terms.to_pylist()),
@@ -591,11 +591,8 @@ def build_block_index(
         # not a multiple of the executor slots leaves cores idle in the last
         # wave (7 tasks on 4 slots = 2 waves, one half-empty). Pinning to
         # num_partitions (callers pass a slot multiple) keeps waves full.
-        n_exch = num_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
         blocks = (
-            to_build.repartition(n_exch, "term", "salt")
+            to_build.repartition(n_parts, "term", "salt")
             .sortWithinPartitions("term", "salt", "run_pos")
             .mapInArrow(
                 _make_stream_encoder(avg_dl, block_size, n_buckets, offsets),
@@ -613,6 +610,17 @@ def build_block_index(
         batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
         prev_batch = spark.conf.get(batch_key, "10000")
         spark.conf.set(batch_key, str(1 << 15))
+        # CORRECTNESS pin, not an optimization: resume writes ONLY the
+        # unbuilt buckets, and with the default STATIC overwrite mode a
+        # partitioned overwrite first deletes the WHOLE blocks table —
+        # previously checkpointed buckets would vanish while their
+        # checkpoints say done, yielding a valid-looking index that
+        # silently misses every term hashed to them. session.get_spark
+        # sets dynamic globally, but a build driven by a vanilla
+        # SparkSession must not depend on that.
+        ovw_key = "spark.sql.sources.partitionOverwriteMode"
+        prev_ovw = spark.conf.get(ovw_key, "static")
+        spark.conf.set(ovw_key, "dynamic")
         try:
             write_table(
                 # kind first: all of a bucket's superblock rows cluster into
@@ -620,8 +628,16 @@ def build_block_index(
                 # serving reader's kind==1 metadata fetch touches only those
                 # row groups and the kind==0 leaf region keeps the
                 # (term, doc_lo) clustering for range-pruned payload reads
+                # bucket LEADS the sort: the V1 parquet writer requires its
+                # output partitioned-ordered by the partition column and
+                # inserts its own Sort(bucket) otherwise — a redundant
+                # second full sort of the largest table, and the
+                # (kind, term, doc_lo) clustering the serving reader's
+                # row-group pruning depends on would then survive only via
+                # that inserted sort's (unspecified) stability. Within each
+                # bucket file the row order is unchanged.
                 blocks.repartition("bucket").sortWithinPartitions(
-                    "kind", "term", "doc_lo"
+                    "bucket", "kind", "term", "doc_lo"
                 ),
                 paths.blocks,
                 mode="overwrite",
@@ -630,6 +646,7 @@ def build_block_index(
             )
         finally:
             spark.conf.set(batch_key, prev_batch)
+            spark.conf.set(ovw_key, prev_ovw)
 
     # ---- finalization: the bucket-stats job and the three complete-index
     # table writes are independent of each other, so the writes run on a
@@ -649,7 +666,8 @@ def build_block_index(
                 "bucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
             )
             .repartition("bucket")
-            .sortWithinPartitions("term"),
+            # bucket leads for the same reason as the blocks write above
+            .sortWithinPartitions("bucket", "term"),
             paths.lexicon,
             mode="overwrite",
             partition_by=("bucket",),

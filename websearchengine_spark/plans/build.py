@@ -45,6 +45,17 @@ K1 = 0.9  # BM25 parameters, reference main.cpp:250
 B = 0.4
 
 
+def tf_component(tfs, dls, avg_dl):
+    """THE BM25 tf-component float expression tree (main.cpp:446-450) for
+    scalar or numpy-array operands. Single shared site: the block encoder's
+    stored WAND bounds (plans/block_index) and every serving scorer
+    (operators/wand) must evaluate the LITERALLY identical expression —
+    block-max pruning with strict ``bound < θ`` is exact only while the
+    recomputed score can never exceed the stored block max by an ulp.
+    (The Spark-Column twin lives in ``LogicalIndex.bm25_score_col``.)"""
+    return tfs * (K1 + 1) / (tfs + K1 * (1 - B + B * dls / avg_dl))
+
+
 @dataclass
 class LogicalIndex:
     """The index as DataFrames (Iceberg/Parquet-backed at rest)."""

@@ -933,7 +933,7 @@ def q_batch_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(GATE_QUERIES, "query_id long, query string")
     top20 = batch_search(qdf, root, conjunctive=True, k=20, num_partitions=4)
     qrels = top20.groupBy("query_id").agg(F.min("doc_id").alias("rel_doc"))
-    return batch_mrr(spark, qdf, qrels, root, n=10, num_partitions=4)
+    return batch_mrr(qdf, qrels, root, n=10, num_partitions=4)
 
 
 def q_mrr_both(spark: SparkSession, sf_dir: str) -> DataFrame:

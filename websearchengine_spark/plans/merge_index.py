@@ -369,8 +369,13 @@ def merge_many_block_indexes(
     spark.conf.set(batch_key, str(1 << 15))
     try:
         write_table(
+            # bucket leads the sort (same as build_block_index): without it
+            # the V1 parquet writer inserts its own Sort(bucket), which is
+            # both a redundant full sort and NOT stable — measured
+            # permuting rows within bucket files, degrading the serving
+            # reader's (kind, term, doc_lo) row-group pruning
             blocks.repartition("bucket").sortWithinPartitions(
-                "kind", "term", "doc_lo"
+                "bucket", "kind", "term", "doc_lo"
             ),
             out_p.blocks,
             mode="overwrite",
@@ -386,7 +391,7 @@ def merge_many_block_indexes(
             "bucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
         )
         .repartition("bucket")
-        .sortWithinPartitions("term"),
+        .sortWithinPartitions("bucket", "term"),
         out_p.lexicon,
         mode="overwrite",
         partition_by=("bucket",),
