@@ -307,20 +307,44 @@ class TermCursor:
         self._decode()
 
     def _decode(self):
-        leaf = self.leaf
-        if self.bi < len(leaf.his):
+        # loop, not recursion: consecutive blocks (or whole superblocks)
+        # fully emptied by tombstones are skipped iteratively
+        while True:
+            leaf = self.leaf
+            if self.bi >= len(leaf.his):
+                # past the superblock's last block → first of the next
+                sbi = self.sbi + 1
+                if sbi >= len(self.sb_his):
+                    self.sbi = sbi
+                    self.ids = None
+                    return
+                self.sbi = sbi
+                self.leaf = self.reader._leaf_for(self.term, sbi)
+                self.bi = 0
+                self.pos = 0
+                continue
             i = self.bi
             # ids_vb holds gaps with the block head measured from doc_lo - 1
-            self.ids = (
+            ids = (
                 np.int64(leaf.los[i] - 1)
                 + np.cumsum(
                     vb_decode(leaf.ids_vb[i]), dtype=np.uint64
                 ).astype(np.int64)
             )
-            self.tfs = vb_decode(leaf.tfs_vb[i])
-            self.dls = vb_decode(leaf.dls_vb[i])
-        else:  # past the superblock's last block → first block of the next
-            self._enter_sb(self.sbi + 1)
+            keep = self.reader._del_mask(ids)
+            if keep is None:
+                self.ids = ids
+                self.tfs = vb_decode(leaf.tfs_vb[i])
+                self.dls = vb_decode(leaf.dls_vb[i])
+                return
+            ids = ids[keep]
+            if len(ids) == 0:  # block fully tombstoned → skip
+                self.bi += 1
+                continue
+            self.ids = ids
+            self.tfs = vb_decode(leaf.tfs_vb[i])[keep]
+            self.dls = vb_decode(leaf.dls_vb[i])[keep]
+            return
 
     def cur_doc(self) -> int:
         if self.sbi >= len(self.sb_his):
@@ -384,8 +408,10 @@ class TermCursor:
 
     def block_ub(self) -> float:
         i = self.bi
+        r = self.reader  # tombstone avg_dl drift factors (1.0 when none)
         return max(
-            self.idf * self.leaf.max_tfc[i], self.idf * self.leaf.min_tfc[i]
+            self.idf * self.leaf.max_tfc[i] * r._bf_hi,
+            self.idf * self.leaf.min_tfc[i] * r._bf_lo,
         )
 
 
@@ -415,6 +441,56 @@ class BlockIndexReader:
         self.n_docs = int(meta["n_docs"])
         self.avg_dl = float(meta["avg_dl"])
         self.n_buckets = int(meta["n_buckets"])
+        # tombstone sidecar (plans/delete_index.py): when present, deleted
+        # postings are masked at every decode site and BM25 stats (N,
+        # avg_dl, per-term df) are corrected with the sidecar's exact
+        # integers, so scores come out BITWISE-equal to a from-scratch
+        # build on the surviving corpus. n_docs stays the PHYSICAL docID
+        # axis (accumulator sizing, shard bounds); n_docs_live drives IDF.
+        self.avg_dl_built = self.avg_dl
+        self.n_docs_live = self.n_docs
+        self._deleted: np.ndarray | None = None
+        self._df_corr: dict[str, int] = {}
+        self._bf_hi = self._bf_lo = 1.0
+        dmeta = os.path.join(self.paths.deletes, "meta")
+        if os.path.isdir(dmeta):
+            dm = pq.read_table(dmeta).to_pylist()[0]
+            n_del = int(dm["n_deleted"])
+            if n_del:
+                self._deleted = np.sort(
+                    pq.read_table(os.path.join(self.paths.deletes, "ids"))
+                    .column("doc_id")
+                    .to_numpy()
+                    .astype(np.int64)
+                )
+                dfc = pq.read_table(
+                    os.path.join(self.paths.deletes, "df_corr")
+                )
+                self._df_corr = {
+                    t: int(d)
+                    for t, d in zip(
+                        dfc.column("term").to_pylist(),
+                        dfc.column("ddf").to_pylist(),
+                    )
+                }
+                self.n_docs_live = self.n_docs - n_del
+                live_dl = int(dm["total_dl"]) - int(dm["deleted_dl"])
+                self.avg_dl = (
+                    live_dl / self.n_docs_live if self.n_docs_live else 0.0
+                )
+                # stored block-max bounds were computed with avg_dl_built;
+                # the tf component is monotone in avg_dl and its ratio
+                # between two avg_dl values is bounded by their ratio, so
+                # scaling stored maxima by max(1, r) (and minima by
+                # min(1, r) for the negative-IDF branch) keeps every bound
+                # a true bound — strict-< pruning stays exact
+                r = (
+                    self.avg_dl / self.avg_dl_built
+                    if self.avg_dl_built > 0.0
+                    else 1.0
+                )
+                self._bf_hi = max(1.0, r)
+                self._bf_lo = min(1.0, r)
         try:
             self._blocks_ds = ds.dataset(self.paths.blocks, partitioning="hive")
             self._lex_ds = ds.dataset(self.paths.lexicon, partitioning="hive")
@@ -553,7 +629,34 @@ class BlockIndexReader:
                 v = found.get(t)
                 self._posting_cache.put(("lex", t), v)
                 vals[t] = v
+        if self._df_corr:
+            # tombstone df corrections: the cache keeps RAW dfs (sidecar
+            # state is fixed per reader instance); a term whose every doc
+            # is deleted becomes OOV, exactly as a rebuilt index drops it
+            out: dict[str, int] = {}
+            for t in terms:
+                v = vals.get(t)
+                if v is None:
+                    continue
+                v -= self._df_corr.get(t, 0)
+                if v > 0:
+                    out[t] = v
+            return out
         return {t: v for t in terms if (v := vals.get(t)) is not None}
+
+    def _del_mask(self, ids: np.ndarray):
+        """Keep-mask for decoded docIDs against the tombstone set — None
+        means keep everything (the zero-overhead path when the index has
+        no tombstones, or this batch hits none)."""
+        d = self._deleted
+        if d is None or len(ids) == 0:
+            return None
+        j = np.searchsorted(d, ids)
+        j[j == len(d)] = 0  # out-of-range ⇒ id > d[-1] ≥ d[0]: never equal
+        hit = d[j] == ids
+        if not hit.any():
+            return None
+        return ~hit
 
     def _fetch_superblocks(self, terms: list[str]) -> dict[str, tuple]:
         """term → (los, his, ns, max_tfc, min_tfc) superblock arrays sorted
@@ -741,13 +844,13 @@ class BlockIndexReader:
                 vals[t] = v
         return {t: v for t in terms if (v := vals.get(t)) is not None}
 
-    @staticmethod
-    def _decode_posting_table(tbl: pa.Table, terms: list[str]) -> dict[str, tuple]:
+    def _decode_posting_table(self, tbl: pa.Table, terms: list[str]) -> dict[str, tuple]:
         """term → decoded (ids:int64, tfs:f64, dls:f64) posting arrays from
-        leaf block rows (columns term, doc_lo, n, ids_vb, tfs_vb, dls_vb).
-        Columnar: one segmented vb_decode per column per term, no per-block
-        Python objects. No caching — callers cache (or are one-shot range
-        workers). Terms with no rows are simply absent from the result."""
+        leaf block rows (columns term, doc_lo, n, ids_vb, tfs_vb, dls_vb),
+        with tombstoned postings masked out. Columnar: one segmented
+        vb_decode per column per term, no per-block Python objects. No
+        caching — callers cache (or are one-shot range workers). Terms
+        with no (surviving) rows are simply absent from the result."""
         out: dict[str, tuple] = {}
         tcol = tbl.column("term").to_pylist()
         lo = tbl.column("doc_lo").to_numpy()
@@ -778,6 +881,11 @@ class BlockIndexReader:
             ids = (cs - np.repeat(offsets, ns)).astype(np.int64)
             tfs = vb_decode(b"".join(tfs_vb[i] for i in idxs)).astype(np.float64)
             dls = vb_decode(b"".join(dls_vb[i] for i in idxs)).astype(np.float64)
+            keep = self._del_mask(ids)
+            if keep is not None:
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                if len(ids) == 0:
+                    continue
             out[t] = (ids, tfs, dls)
         return out
 
@@ -838,7 +946,9 @@ class BlockIndexReader:
         return cursors  # every present term has ≥1 superblock by construction
 
     def _idf(self, df: int) -> float:
-        return math.log((self.n_docs - df + 0.5) / (df + 0.5))
+        # N = LIVE docs: with tombstones pending this is the same integer a
+        # from-scratch build on the surviving corpus would use
+        return math.log((self.n_docs_live - df + 0.5) / (df + 0.5))
 
     def _flat_ok(self, total_postings: int) -> bool:
         """A flat O(n_docs) accumulator is used only while the corpus is
@@ -1150,7 +1260,13 @@ class BlockIndexReader:
                 continue
             los, his, ns, mx, mn = sbm
             idf = self._idf(int(lex[t]))
-            metas.append((t, idf, los, his, np.maximum(idf * mx, idf * mn), ns))
+            # _bf_hi/_bf_lo: tombstone avg_dl drift factors (1.0 when no
+            # deletes) — keep stored build-time bounds valid upper bounds
+            metas.append((
+                t, idf, los, his,
+                np.maximum(idf * mx * self._bf_hi, idf * mn * self._bf_lo),
+                ns,
+            ))
         if not metas:
             return []
         bounds = np.unique(
@@ -1229,7 +1345,10 @@ class BlockIndexReader:
                 lhis = np.concatenate([pt.his for pt in parts])
                 lubs = np.concatenate(
                     [
-                        np.maximum(idf * pt.max_tfc, idf * pt.min_tfc)
+                        np.maximum(
+                            idf * pt.max_tfc * self._bf_hi,
+                            idf * pt.min_tfc * self._bf_lo,
+                        )
                         for pt in parts
                     ]
                 )
@@ -1342,12 +1461,20 @@ class BlockIndexReader:
                             b"".join(pt.dls_vb[j] for pt, j in zip(mparts, mjs))
                         ).astype(np.float64)
                         contrib_all = idf * _tf_component(tfs, dls, self.avg_dl)
+                        dkeep = self._del_mask(ids_all)
                         for jj, ci in enumerate(miss):
                             s0, s1 = int(st[jj]), int(st[jj] + mns[jj])
-                            dec[(int(sb_of[ci]), int(j_of[ci]))] = (
-                                ids_all[s0:s1],
-                                contrib_all[s0:s1],
-                            )
+                            if dkeep is None:
+                                dec[(int(sb_of[ci]), int(j_of[ci]))] = (
+                                    ids_all[s0:s1],
+                                    contrib_all[s0:s1],
+                                )
+                            else:  # tombstoned postings never score
+                                kk = dkeep[s0:s1]
+                                dec[(int(sb_of[ci]), int(j_of[ci]))] = (
+                                    ids_all[s0:s1][kk],
+                                    contrib_all[s0:s1][kk],
+                                )
                     keys = [
                         (int(sb_of[ci]), int(j_of[ci])) for ci in needb.tolist()
                     ]

@@ -146,6 +146,15 @@ class BlockIndexPaths:
     def checkpoints(self) -> str:
         return self._child("checkpoints")
 
+    @property
+    def deletes(self) -> str:
+        """Optional tombstone sidecar (plans/delete_index.py): deleted
+        doc_ids plus the exact df/cf/dl corrections that keep serving-time
+        BM25 equal to a from-scratch build on the surviving corpus. Present
+        only between a tombstone_delete and the purge/compaction that
+        physically rewrites the index."""
+        return self._child("deletes")
+
 
 def _make_stream_encoder(
     avg_dl: float,

@@ -249,6 +249,19 @@ def merge_many_block_indexes(
             "out_dir must be a NEW location: the merge reads its inputs "
             "while writing the output (write to a sibling dir, then swap)"
         )
+    # an input with pending tombstones would merge its deleted postings
+    # into an output that carries no sidecar — silently resurrecting the
+    # deleted docs. Purge first (plans/delete_index.purge_deletes), then
+    # merge the purged index. Lazy import: delete_index imports this module.
+    from websearchengine_spark.plans.delete_index import has_tombstones
+
+    for d in input_dirs:
+        if has_tombstones(d):
+            raise ValueError(
+                f"input index at {d} has pending tombstones: merging would "
+                "resurrect its deleted docs — run purge_deletes on it "
+                "first, then merge the purged index"
+            )
     in_ps = [BlockIndexPaths(d) for d in input_dirs]
     out_p = BlockIndexPaths(out_dir)
     metas = [read_table(spark, p.meta).collect()[0].asDict() for p in in_ps]
