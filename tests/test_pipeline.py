@@ -439,3 +439,107 @@ def test_rep_stats_known_values(spark):
     assert out[1]["max_line_len"] == 0 and out[1]["top_token_frac"] == 0.0
     assert out[2]["dup_line_frac"] == 0.0
     assert out[2]["top_token_frac"] == pytest.approx(0.25, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated windows (substring-level dedup)
+
+
+def test_duplicated_windows_cross_doc_and_self_repeat(spark):
+    rows = [
+        (0, "a b c d e f g h i j"),            # shares "a b c d" with doc 1
+        (1, "x y z a b c d q r s"),
+        (2, "m n o p m n o p"),                # self-repetition counts
+        (3, "unique words only here today ok"),
+        (4, "aa bb"),                          # < w tokens → zero windows
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicated_window_stats(d, w=4).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}          # every doc present
+    assert out[0]["dup_windows"] == 1 and out[0]["dup_tokens"] == 4
+    assert out[1]["dup_windows"] == 1 and out[1]["dup_tokens"] == 4
+    # doc 2: windows at 0 and 4 are identical → union [0,4)∪[4,8) = 8 tokens
+    assert out[2]["dup_windows"] == 2 and out[2]["dup_tokens"] == 8
+    assert out[2]["dup_fraction"] == 1.0
+    assert out[3]["dup_windows"] == 0 and out[3]["dup_fraction"] == 0.0
+    assert out[4]["n_tokens"] == 2 and out[4]["dup_windows"] == 0
+
+
+def test_duplicated_windows_overlap_union_is_exact(spark):
+    # fully-duplicated 6-token doc: dup windows at 0,1,2 (w=4) overlap;
+    # the interval union must count 6 tokens, not 3·4
+    rows = [(0, "p q r s t u"), (1, "p q r s t u")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.duplicated_window_stats(d, w=4).collect()}
+    for i in (0, 1):
+        assert out[i]["dup_windows"] == 3
+        assert out[i]["dup_tokens"] == 6 == out[i]["n_tokens"]
+        assert out[i]["dup_fraction"] == 1.0
+
+
+def test_duplicated_windows_match_duckdb_oracle(spark):
+    import duckdb
+
+    from websearchengine_spark.pipeline.hashing import (
+        sql_h60,
+        sql_shingles,
+        sql_tokens,
+    )
+
+    w = 5
+    boiler = "this content is provided as is without warranty of any kind"
+    quote = "to be or not to be that is the question"
+    rows = []
+    for i in range(40):
+        body = f"doc {i} body " + " ".join(
+            f"w{(i * 7 + j) % 13}" for j in range(i % 9)
+        )
+        if i % 3 == 0:
+            body += " " + boiler
+        if i % 5 == 0:
+            body = quote + " " + body
+        rows.append((i, body))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in dedup.duplicated_window_stats(d, w=w).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs_in", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    sh = sql_shingles("l", w, distinct=False)
+    oracle = con.execute(f"""
+        WITH base AS (
+          SELECT doc_id, len({sql_tokens('text')})::BIGINT AS n_tokens,
+                 {sql_tokens('text')} AS l
+          FROM docs_in
+        ),
+        wins AS (
+          SELECT doc_id, unnest(range(len({sh}))) AS pos,
+                 unnest(list_transform({sh}, s -> {sql_h60('s')})) AS wh
+          FROM base
+        ),
+        dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+        gaps AS (
+          SELECT doc_id,
+                 least({w}, coalesce(
+                   lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                   1073741824)) AS cov
+          FROM wins SEMI JOIN dup USING (wh)
+        ),
+        per AS (
+          SELECT doc_id, count(*)::BIGINT AS dup_windows,
+                 sum(cov)::BIGINT AS dup_tokens
+          FROM gaps GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(dup_windows, 0) AS dup_windows,
+               coalesce(dup_tokens, 0) AS dup_tokens,
+               CASE WHEN b.n_tokens > 0
+                    THEN coalesce(dup_tokens, 0)::DOUBLE / b.n_tokens
+                    ELSE 0.0 END AS dup_fraction
+        FROM base b LEFT JOIN per USING (doc_id)
+        ORDER BY b.doc_id
+    """).fetchall()
+    assert got == sorted(tuple(r) for r in oracle)

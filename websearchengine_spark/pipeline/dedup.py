@@ -704,3 +704,95 @@ def embedding_dup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated windows (substring-level dedup signal)
+
+
+def duplicated_window_stats(
+    docs: DataFrame, w: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Exact duplicated-window detection — the token-window form of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499): a w-token window occurring
+    ``min_count``+ times ANYWHERE in the corpus (another doc or a repeat
+    inside the same doc) marks its tokens as duplicated text. Unlike the
+    document-level ops above (exact / MinHash / SimHash), this catches
+    boilerplate and quotes embedded in otherwise-unique documents.
+
+    → (doc_id, n_tokens, dup_windows, dup_tokens, dup_fraction) for EVERY
+    input doc; ``dup_tokens`` is the exact size of the union of the
+    duplicated windows' [pos, pos+w) token intervals, so
+    ``dup_fraction`` is directly thresholdable by a curation filter
+    (``.filter("dup_fraction < 0.5")``).
+
+    Plan shape (100-TB audit): tokenize + positional windows + h60 are
+    narrow JVM column ops; the corpus is tokenized ONCE — duplicated
+    hashes come from a count over the wh hash partition (one exchange;
+    the groupBy-then-self-join alternative builds the window stream
+    twice), then the per-doc pass is a groupBy(doc_id) whose
+    interval-union runs inside JVM array expressions (sort_array +
+    zip_with + aggregate — no Python, state bounded by tokens-per-doc).
+    Rows shuffled ≈ token count — the same volume class as the index
+    build's posting exchange. Skew note: every occurrence of one window
+    hash lands in one task either way (that concentration IS the
+    duplicated content being measured); a corpus with a window repeated
+    ~10^9 times should pre-filter such boilerplate (textstats.rep_stats)
+    before this op.
+    """
+    from pyspark.sql import Window
+
+    if w < 1:
+        raise ValueError("window size w must be >= 1")
+    big = F.lit(1 << 30)
+    base = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select("doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks")
+    wins = base.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("toks"), k=w, distinct=False)).alias(
+            "pos", "win"
+        ),
+    ).select("doc_id", "pos", h60(F.col("win")).alias("wh"))
+    hits = wins.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("wh"))
+    ).filter(F.col("cnt") >= min_count)
+    # sorted window starts → union of [pos, pos+w) intervals as one fold:
+    # each start covers min(w, next_start - start) new tokens (the last
+    # start covers w — coalesce via the `big` sentinel, no reliance on
+    # either engine's null-skipping `least`)
+    covered = F.aggregate(
+        F.zip_with(
+            F.col("ps"),
+            F.slice(F.col("ps"), 2, 1 << 30),
+            lambda a, b: F.least(F.lit(w), F.coalesce(b - a, big)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per = (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_windows"),
+            F.sort_array(F.collect_list("pos")).alias("ps"),
+        )
+        .select("doc_id", "dup_windows", covered.alias("dup_tokens"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("dup_tokens").cast("double") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
