@@ -55,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="deliberately drop the texts sidecar from the "
                         "merged index (disables snippet serving; the only "
                         "way to merge mixed texts/textless inputs)")
+    p.add_argument("--purge-tombstones", action="store_true",
+                   help="drop each input's tombstoned docs (plans/"
+                        "delete_index.py sidecar) during this merge — the "
+                        "one-pass nightly-compaction shape. Without it, a "
+                        "tombstoned --delta input is refused (--staging "
+                        "mode always purges the base's tombstones)")
     args = p.parse_args(argv)
     if (args.delta is None) == (args.staging is None):
         p.error("exactly one of --delta / --staging is required")
@@ -74,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
             hot_df_threshold=args.hot_df_threshold,
             num_partitions=args.num_partitions,
             drop_texts=args.drop_texts,
+            purge_tombstones=args.purge_tombstones,
         )
     else:
         from websearchengine_spark.streaming.ingest import compact_incremental

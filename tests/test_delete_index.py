@@ -346,3 +346,142 @@ def test_deleted_ids_never_decoded(deleted_vs_scratch):
         assert not (set(ids.tolist()) & dels)
     assert len(dels) == len(DEAD) * 4
     assert isinstance(r._deleted, np.ndarray)
+
+
+# ---------------------------------------------------------------------------
+# one-pass purge+merge (nightly compaction shape)
+
+
+def _tdf_pref(spark, prefix: str, n_convs: int, n_turns: int = 4):
+    rows = []
+    for c in range(n_convs):
+        for t in range(n_turns):
+            body = " ".join(
+                WORDS[(c * 7 + t * 3 + j) % len(WORDS)] for j in range(3 + t)
+            )
+            rows.append(
+                (
+                    f"{prefix}{c:03d}",
+                    t,
+                    "user" if t % 2 == 0 else "assistant",
+                    f"the {body} turn {t}",
+                    None if t % 3 else "search",
+                    TS0 + dt.timedelta(seconds=60 * (c * n_turns + t)),
+                )
+            )
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_merge_purges_tombstones_inline(spark, tmp_path):
+    """merge_many(purge_tombstones=True) with a tombstoned base + clean
+    delta must be CONTENT-IDENTICAL to a from-scratch build on
+    (surviving base ∪ delta) — deltas absorbed and deletes purged in one
+    exchange, no sidecar on the output."""
+    root = tmp_path
+    base_t = _tdf_pref(spark, "a", 10)
+    delta_t = _tdf_pref(spark, "b", 4)
+    kw = dict(resume=False, n_buckets=8, num_partitions=4, store_texts=True)
+    build_block_index(base_t, str(root / "base"), build_id="b", **kw)
+    build_block_index(delta_t, str(root / "delta"), build_id="d", **kw)
+    dead = ["a001", "a004", "a007"]
+    tombstone_delete(spark, str(root / "base"), conv_ids=dead)
+    m = merge_block_indexes(
+        spark, str(root / "base"), str(root / "delta"), str(root / "merged"),
+        build_id="s", purge_tombstones=True,
+    )
+    surv = base_t.filter(~base_t.conv_id.isin(dead)).unionByName(delta_t)
+    s = build_block_index(surv, str(root / "scratch"), build_id="s", **kw)
+    assert m.n_docs == s.n_docs == (10 - 3 + 4) * 4
+    assert m.avg_dl == s.avg_dl
+    assert not has_tombstones(str(root / "merged"))
+    for name, sort_cols in (
+        ("blocks", ["bucket", "kind", "term", "doc_lo"]),
+        ("lexicon", ["term"]),
+        ("doc_stats", ["doc_id"]),
+        ("texts", ["doc_id"]),
+    ):
+        assert _table_rows(f"{root}/merged/{name}", sort_cols) == \
+            _table_rows(f"{root}/scratch/{name}", sort_cols), name
+    rm, rs = BlockIndexReader(str(root / "merged")), BlockIndexReader(
+        str(root / "scratch")
+    )
+    for q, conj in QUERIES:
+        assert rm.search(q, conjunctive=conj) == rs.search(q, conjunctive=conj)
+
+
+def test_merge_purges_tombstones_on_every_input(spark, tmp_path):
+    root = tmp_path
+    base_t = _tdf_pref(spark, "a", 8)
+    delta_t = _tdf_pref(spark, "b", 6)
+    kw = dict(resume=False, n_buckets=8, num_partitions=4, store_texts=True)
+    build_block_index(base_t, str(root / "base"), build_id="b", **kw)
+    build_block_index(delta_t, str(root / "delta"), build_id="d", **kw)
+    tombstone_delete(spark, str(root / "base"), conv_ids=["a002"])
+    tombstone_delete(spark, str(root / "delta"), turns=[("b001", 0), ("b003", 2)])
+    m = merge_block_indexes(
+        spark, str(root / "base"), str(root / "delta"), str(root / "merged"),
+        build_id="s", purge_tombstones=True,
+    )
+    surv = base_t.filter(base_t.conv_id != "a002").unionByName(
+        delta_t.filter(
+            ~(
+                ((delta_t.conv_id == "b001") & (delta_t.turn_idx == 0))
+                | ((delta_t.conv_id == "b003") & (delta_t.turn_idx == 2))
+            )
+        )
+    )
+    s = build_block_index(surv, str(root / "scratch"), build_id="s", **kw)
+    assert m.n_docs == s.n_docs == 8 * 4 - 4 + 6 * 4 - 2
+    for name, sort_cols in (
+        ("blocks", ["bucket", "kind", "term", "doc_lo"]),
+        ("lexicon", ["term"]),
+        ("doc_stats", ["doc_id"]),
+        ("texts", ["doc_id"]),
+    ):
+        assert _table_rows(f"{root}/merged/{name}", sort_cols) == \
+            _table_rows(f"{root}/scratch/{name}", sort_cols), name
+
+
+def test_compact_incremental_purges_by_default(spark, tmp_path):
+    """The nightly flow: compact wave a → serve → tombstone some convs →
+    stage wave b → compact_incremental. The output must equal a full
+    build on (staging minus deleted) — the day's deletes become physical
+    at compaction with no extra pass."""
+    from websearchengine_spark.streaming import ingest
+
+    staging = str(tmp_path / "staging")
+    writer = ingest.make_batch_writer(staging)
+    wave_a = _tdf_pref(spark, "a", 6)
+    writer(wave_a, 0)
+    kw = dict(n_buckets=8, num_partitions=4)
+    ingest.compact(spark, staging, str(tmp_path / "base"), resume=False,
+                   build_id="full0", **kw)
+    tombstone_delete(
+        spark, str(tmp_path / "base"), conv_ids=["a000", "a003"], corpus=wave_a
+    )
+    wave_b = _tdf_pref(spark, "b", 3)
+    writer(wave_b, 1)
+    m = ingest.compact_incremental(
+        spark, staging, str(tmp_path / "base"), str(tmp_path / "merged"), **kw
+    )
+    assert m is not None and m.n_docs == (6 - 2 + 3) * 4
+    surv = wave_a.filter(~wave_a.conv_id.isin(["a000", "a003"])).unionByName(
+        wave_b
+    )
+    build_block_index(
+        surv, str(tmp_path / "scratch"), build_id="full0",
+        resume=False, **kw,
+    )
+    for name, sort_cols in (
+        ("blocks", ["bucket", "kind", "term", "doc_lo"]),
+        ("lexicon", ["term"]),
+        ("doc_stats", ["doc_id"]),
+    ):
+        assert _table_rows(f"{tmp_path}/merged/{name}", sort_cols) == \
+            _table_rows(f"{tmp_path}/scratch/{name}", sort_cols), name
+    # opt-out restores the hard refusal
+    with pytest.raises(ValueError, match="pending tombstones"):
+        ingest.compact_incremental(
+            spark, staging, str(tmp_path / "base"), str(tmp_path / "m2"),
+            purge_tombstones=False, **kw,
+        )

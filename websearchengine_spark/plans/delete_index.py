@@ -302,13 +302,15 @@ def tombstone_delete(
         targeted.unpersist()
 
 
-def _blocks_to_purged_runs(bc_deleted):
+def _blocks_to_purged_runs(bc_deleted, shift: int = 0):
     """mapInArrow body: leaf block rows → compressed runs with deleted
     postings DROPPED and surviving docIDs remapped to dense ranks
-    (id' = id - |{deleted < id}|). Same vectorized decode/re-encode
-    primitives as merge_index._blocks_to_runs, plus the tf/dl payloads are
-    re-encoded too (their values survive unchanged but their block
-    segmentation shifts with the drops)."""
+    (id' = id - |{deleted < id}| + shift). Same vectorized
+    decode/re-encode primitives as merge_index._blocks_to_runs, plus the
+    tf/dl payloads are re-encoded too (their values survive unchanged but
+    their block segmentation shifts with the drops). ``shift`` is the
+    arrival-block offset when purging inline inside a k-way merge
+    (merge_many_block_indexes(purge_tombstones=True))."""
     import pyarrow as pa
 
     def to_runs(batches):
@@ -331,7 +333,7 @@ def _blocks_to_purged_runs(bc_deleted):
             ok = j < len(dels)
             hit[ok] = dels[j[ok]] == ids[ok]
             keep = ~hit
-            new_ids = (ids - j)[keep]  # dense rank among survivors
+            new_ids = (ids - j)[keep] + shift  # dense survivor rank + block offset
             tfs = vb_decode(concat_binary_column(t.column("tfs_vb")))[keep]
             dls = vb_decode(concat_binary_column(t.column("dls_vb")))[keep]
             block_of = np.repeat(np.arange(len(ns)), ns)[keep]

@@ -184,6 +184,7 @@ def merge_block_indexes(
     target_group_size: int = 50_000,
     num_partitions: int | None = None,
     drop_texts: bool = False,
+    purge_tombstones: bool = False,
 ) -> BuildMetrics:
     """Merge two block indexes into ``out_dir``. Base docIDs are kept;
     delta docIDs shift by ``base.n_docs`` (arrival-blocked numbering — see
@@ -200,6 +201,7 @@ def merge_block_indexes(
         target_group_size=target_group_size,
         num_partitions=num_partitions,
         drop_texts=drop_texts,
+        purge_tombstones=purge_tombstones,
     )
 
 
@@ -214,6 +216,7 @@ def merge_many_block_indexes(
     target_group_size: int = 50_000,
     num_partitions: int | None = None,
     drop_texts: bool = False,
+    purge_tombstones: bool = False,
 ) -> BuildMetrics:
     """k-way merge of ``input_dirs`` (ordered) into ``out_dir`` — the
     reference's N-input shape (merge_index.cpp:363-407 opens EVERY partial
@@ -223,7 +226,17 @@ def merge_many_block_indexes(
     2-way merges to absorb k deltas re-shuffles the ever-growing base k-1
     times, while this moves every posting through the exchange exactly once.
     Inputs must be block_format 3 with equal block_size over disjoint
-    corpora (the streaming stager guarantees disjointness)."""
+    corpora (the streaming stager guarantees disjointness).
+
+    ``purge_tombstones=True`` additionally drops each input's tombstoned
+    docs (plans/delete_index.py sidecars) INSIDE this same pass: deleted
+    postings are filtered and survivors renumbered densely while the
+    blocks stream into the exchange, lexicon/doc_stats/avg_dl use the
+    sidecars' exact corrections, and the output carries no sidecar. This
+    is the nightly-compaction shape — absorbing deltas and honoring the
+    day's deletes costs ONE rewrite instead of purge-then-merge's two.
+    With the default False, a tombstoned input is refused (merging it
+    verbatim would silently resurrect its deleted docs)."""
     t0 = time.time()
     input_dirs = list(input_dirs)
     if len(input_dirs) < 2:
@@ -249,19 +262,29 @@ def merge_many_block_indexes(
             "out_dir must be a NEW location: the merge reads its inputs "
             "while writing the output (write to a sibling dir, then swap)"
         )
-    # an input with pending tombstones would merge its deleted postings
-    # into an output that carries no sidecar — silently resurrecting the
-    # deleted docs. Purge first (plans/delete_index.purge_deletes), then
-    # merge the purged index. Lazy import: delete_index imports this module.
-    from websearchengine_spark.plans.delete_index import has_tombstones
+    # lazy import: delete_index imports this module
+    from websearchengine_spark.plans.delete_index import (
+        DEL_DF_SCHEMA,
+        DEL_IDS_SCHEMA,
+        DEL_META_SCHEMA,
+        _blocks_to_purged_runs,
+        _remap_doc_ids,
+        delete_paths,
+        has_tombstones,
+    )
 
-    for d in input_dirs:
-        if has_tombstones(d):
-            raise ValueError(
-                f"input index at {d} has pending tombstones: merging would "
-                "resurrect its deleted docs — run purge_deletes on it "
-                "first, then merge the purged index"
-            )
+    if not purge_tombstones:
+        # an input with pending tombstones would merge its deleted postings
+        # into an output that carries no sidecar — silently resurrecting
+        # the deleted docs
+        for d in input_dirs:
+            if has_tombstones(d):
+                raise ValueError(
+                    f"input index at {d} has pending tombstones: merging "
+                    "would resurrect its deleted docs — run purge_deletes "
+                    "on it first, or pass purge_tombstones=True to drop "
+                    "them during this merge"
+                )
     in_ps = [BlockIndexPaths(d) for d in input_dirs]
     out_p = BlockIndexPaths(out_dir)
     metas = [read_table(spark, p.meta).collect()[0].asDict() for p in in_ps]
@@ -274,7 +297,36 @@ def merge_many_block_indexes(
         raise ValueError("block_size mismatch between input indexes")
     block_size = block_sizes.pop()
     n_buckets = n_buckets or int(metas[0]["n_buckets"])
-    counts = [int(m["n_docs"]) for m in metas]
+    # per-input tombstone state (purge_tombstones=True): sorted deleted-id
+    # broadcast + the sidecar's exact corrections — the merge drops those
+    # postings inline, so deltas are absorbed and deletes purged in the
+    # SAME exchange (see docstring)
+    del_state = []
+    for d, p in zip(input_dirs, in_ps):
+        if purge_tombstones and has_tombstones(d):
+            ids_p, dfc_p, dmeta_p = delete_paths(p)
+            dm = read_table(spark, dmeta_p, schema=DEL_META_SCHEMA).collect()[0]
+            arr = np.sort(
+                read_table(spark, ids_p, schema=DEL_IDS_SCHEMA)
+                .toPandas()["doc_id"]
+                .to_numpy()
+                .astype(np.int64)
+            )
+            del_state.append(
+                (
+                    spark.sparkContext.broadcast(arr),
+                    read_table(spark, dfc_p, schema=DEL_DF_SCHEMA),
+                    int(dm["n_deleted"]),
+                    int(dm["deleted_dl"]),
+                    int(dm["total_dl"]),
+                )
+            )
+        else:
+            del_state.append(None)
+    counts = [
+        int(m["n_docs"]) - (st[2] if st else 0)
+        for m, st in zip(metas, del_state)
+    ]  # LIVE docs per input
     # shift for index i = total docs of indexes before it (arrival-blocked)
     shifts = [sum(counts[:i]) for i in range(len(counts))]
     n_docs = sum(counts)
@@ -317,18 +369,32 @@ def merge_many_block_indexes(
     in_ds = [
         read_table(spark, p.doc_stats, schema=DOC_STATS_SCHEMA) for p in in_ps
     ]
-    total_dl = sum(
-        int(ds.agg(F.sum("term_cnt")).collect()[0][0] or 0) for ds in in_ds
-    )
+    total_dl = 0
+    for ds_in, st in zip(in_ds, del_state):
+        if st is not None:
+            total_dl += st[4] - st[3]  # exact live dl from the sidecar ints
+        else:
+            total_dl += int(ds_in.agg(F.sum("term_cnt")).collect()[0][0] or 0)
     avg_dl = (total_dl / n_docs) if n_docs else 0.0
 
-    # merged lexicon (disjoint corpora ⇒ dfs/cfs add)
-    lex_parts = [
-        read_table(spark, p.lexicon, schema=LEXICON_READ_SCHEMA).select(
+    # merged lexicon (disjoint corpora ⇒ dfs/cfs add; tombstoned inputs
+    # contribute LIVE dfs/cfs via their sidecar's exact corrections)
+    lex_parts = []
+    for p, st in zip(in_ps, del_state):
+        part = read_table(spark, p.lexicon, schema=LEXICON_READ_SCHEMA).select(
             "term", "df", "cf"
         )
-        for p in in_ps
-    ]
+        if st is not None:
+            part = (
+                part.join(st[1], "term", "left")
+                .select(
+                    "term",
+                    (F.col("df") - F.coalesce(F.col("ddf"), F.lit(0))).alias("df"),
+                    (F.col("cf") - F.coalesce(F.col("dcf"), F.lit(0))).alias("cf"),
+                )
+                .filter(F.col("df") > 0)
+            )
+        lex_parts.append(part)
     lex_union = lex_parts[0]
     for part in lex_parts[1:]:
         lex_union = lex_union.unionByName(part)
@@ -341,15 +407,15 @@ def merge_many_block_indexes(
     # the salt ranges cut on the MERGED docID axis (monotone in doc_lo ⇒
     # salted sub-lists stay contiguous disjoint ranges that concatenate in
     # order)
-    runs = _leaf_blocks(spark, in_ps[0]).mapInArrow(
-        _blocks_to_runs(0), RUNS_SCHEMA
-    )
-    for p, shift in zip(in_ps[1:], shifts[1:]):
-        runs = runs.unionByName(
-            _leaf_blocks(spark, p).mapInArrow(
-                _blocks_to_runs(shift), RUNS_SCHEMA
-            )
-        )
+    def _input_runs(p, st, shift):
+        lb = _leaf_blocks(spark, p)
+        if st is not None:  # drop tombstoned postings inside the stream
+            return lb.mapInArrow(_blocks_to_purged_runs(st[0], shift), RUNS_SCHEMA)
+        return lb.mapInArrow(_blocks_to_runs(shift), RUNS_SCHEMA)
+
+    runs = _input_runs(in_ps[0], del_state[0], 0)
+    for p, st, shift in zip(in_ps[1:], del_state[1:], shifts[1:]):
+        runs = runs.unionByName(_input_runs(p, st, shift))
     nd = max(n_docs, 1)
     hot_df = lexicon.filter(F.col("df") > hot_df_threshold).select(
         "term",
@@ -410,10 +476,17 @@ def merge_many_block_indexes(
         partition_by=("bucket",),
         options={"parquet.block.size": 256 << 10},
     )
-    ds_union = in_ds[0]
-    for ds, shift in zip(in_ds[1:], shifts[1:]):
+    def _input_ds(ds_in, st, shift, schema):
+        if st is not None:  # drop tombstoned rows, remap to survivor ranks
+            ds_in = _remap_doc_ids(ds_in, st[0], schema)
+        if shift:
+            ds_in = ds_in.withColumn("doc_id", F.col("doc_id") + F.lit(shift))
+        return ds_in
+
+    ds_union = _input_ds(in_ds[0], del_state[0], 0, DOC_STATS_SCHEMA)
+    for ds, st, shift in zip(in_ds[1:], del_state[1:], shifts[1:]):
         ds_union = ds_union.unionByName(
-            ds.withColumn("doc_id", F.col("doc_id") + F.lit(shift))
+            _input_ds(ds, st, shift, DOC_STATS_SCHEMA)
         )
     write_table(ds_union, out_p.doc_stats, mode="overwrite")
     fingerprint = f"{n_docs}:{avg_dl:.6f}"
@@ -436,15 +509,18 @@ def merge_many_block_indexes(
     if not is_table_identifier(out_dir):
         if emit_texts:
             with_texts = [
-                (p, s) for p, s, h in zip(in_ps, shifts, has_texts) if h
+                (p, st, s)
+                for p, st, s, h in zip(in_ps, del_state, shifts, has_texts)
+                if h
             ]
             texts = None
-            for p, shift in with_texts:
-                part = read_table(spark, p.texts, schema=TEXTS_SCHEMA)
-                if shift:
-                    part = part.withColumn(
-                        "doc_id", F.col("doc_id") + F.lit(shift)
-                    )
+            for p, st, shift in with_texts:
+                part = _input_ds(
+                    read_table(spark, p.texts, schema=TEXTS_SCHEMA),
+                    st,
+                    shift,
+                    TEXTS_SCHEMA,
+                )
                 texts = part if texts is None else texts.unionByName(part)
             write_table(
                 texts,
@@ -499,6 +575,9 @@ def merge_many_block_indexes(
             mode="append",
         )
     lexicon.unpersist()
+    for st in del_state:
+        if st is not None:
+            st[0].unpersist()
     n_postings = sum(int(r["n_postings"]) for r in per_bucket.values())
     return BuildMetrics(
         build_id=build_id,

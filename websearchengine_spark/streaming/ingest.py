@@ -187,7 +187,13 @@ def compact_incremental(
     conversations sort after all earlier ones — the result is
     content-identical to a from-scratch compaction of the full staging set
     (pinned in tests/test_merge_index.py). Returns None when no new batch
-    exists; otherwise the merge's BuildMetrics."""
+    exists; otherwise the merge's BuildMetrics.
+
+    Tombstones on the base (plans/delete_index.py) are PURGED during the
+    merge by default (``purge_tombstones=True``) — compaction is exactly
+    when the day's deletes should become physical, and the inline purge
+    costs no extra pass. Pass ``purge_tombstones=False`` to refuse a
+    tombstoned base instead."""
     import shutil
     import tempfile
 
@@ -246,6 +252,8 @@ def compact_incremental(
         and (not is_table_identifier(base_index_dir))
         and os.path.isdir(BlockIndexPaths(base_index_dir).texts),
     )
+    # purge_tombstones is a MERGE option; it must not reach the delta build
+    purge_tombstones = bool(kwargs.pop("purge_tombstones", True))
     merge_kwargs = {
         k: kwargs[k]
         for k in (
@@ -254,6 +262,7 @@ def compact_incremental(
         )
         if k in kwargs
     }
+    merge_kwargs["purge_tombstones"] = purge_tombstones
     if drop_texts:
         merge_kwargs["drop_texts"] = True
     try:
