@@ -485,3 +485,28 @@ def test_compact_incremental_purges_by_default(spark, tmp_path):
             spark, staging, str(tmp_path / "base"), str(tmp_path / "m2"),
             purge_tombstones=False, **kw,
         )
+
+
+def test_search_full_with_snippets_on_tombstoned_index(deleted_vs_scratch):
+    """The full serving assembly (scores + freqs + metadata + snippets)
+    over a tombstoned index must equal the rebuild's, modulo docID
+    numbering — snippets and metadata are fetched only for live results,
+    so the sidecar text of deleted docs is never served (it remains on
+    disk until purge: tombstone = logical delete, purge = physical)."""
+    from websearchengine_spark.operators.snippets import SnippetService
+
+    root, _t, _m = deleted_vs_scratch
+    full, scratch = str(root / "full"), str(root / "scratch")
+    sf = SnippetService(f"{full}/doc_stats", texts_path=f"{full}/texts")
+    ss = SnippetService(f"{scratch}/doc_stats", texts_path=f"{scratch}/texts")
+    rf, rs = BlockIndexReader(full), BlockIndexReader(scratch)
+    for q, conj in QUERIES[:4]:
+        got = rf.search_full(q, conjunctive=conj, n_results=5, snippets=sf)
+        want = rs.search_full(q, conjunctive=conj, n_results=5, snippets=ss)
+        strip = lambda d: {
+            k: v for k, v in d.items() if k not in ("time",)
+        }
+        assert got["count"] == want["count"], (q, conj)
+        assert [strip(d) for d in got["data"]] == [
+            strip(d) for d in want["data"]
+        ], (q, conj)

@@ -36,6 +36,13 @@ tombstone-then-compact shape (Lucene's liveDocs + merge):
    tests/test_delete_index.py), with no re-tokenize and no text shuffle:
    ~1-3 compressed B/posting moved, the same bill as a merge.
 
+Privacy semantics, stated plainly: a tombstone is a LOGICAL delete — no
+serving surface (search, counts, freqs, snippets) will ever return the
+doc again, but its bytes still sit in the posting blocks and the texts
+sidecar until :func:`purge_deletes` (or a ``purge_tombstones=True``
+compaction) physically rewrites them. A redaction obligation is met at
+the purge, not at the tombstone.
+
 Scale notes: the tombstone path costs O(deleted docs) everywhere — the
 sidecar is meant for the small live-delete fraction between compactions;
 the serving reader loads the tombstone array into memory (8 B/doc), and
