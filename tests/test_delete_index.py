@@ -510,3 +510,138 @@ def test_search_full_with_snippets_on_tombstoned_index(deleted_vs_scratch):
         assert [strip(d) for d in got["data"]] == [
             strip(d) for d in want["data"]
         ], (q, conj)
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+
+
+def test_gallop_cursor_survives_fully_tombstoned_tail_blocks(spark, tmp_path):
+    """next_geq landing in a block whose every posting (and every later
+    block) is tombstoned must exhaust the cursor (INF), not crash on the
+    searchsorted of a None ids array."""
+    rows = []
+    for c in range(200):
+        text = "marker words only" if c == 150 else "common filler words"
+        rows.append((f"c{c:03d}", 0, "user", text, None, TS0))
+    d = spark.createDataFrame(rows, SCHEMA)
+    root = tmp_path
+    kw = dict(resume=False, n_buckets=8, num_partitions=4, store_texts=True)
+    build_block_index(d, str(root / "full"), build_id="f", **kw)
+    # delete every `common` doc with id >= 128 → the term's SECOND leaf
+    # block (block_size 128) becomes entirely tombstoned
+    dead = [f"c{c:03d}" for c in range(128, 200) if c != 150]
+    tombstone_delete(spark, str(root / "full"), conv_ids=dead)
+    r = BlockIndexReader(str(root / "full"))
+    # conjunctive gallop: lead "marker" (df 1, doc 150) forces
+    # common.next_geq(150) into the fully-deleted block
+    assert r.search("marker common", conjunctive=True) == []
+    # scratch agreement on the same query set
+    build_block_index(
+        d.filter(~d.conv_id.isin(dead)), str(root / "scratch"),
+        build_id="s", **kw,
+    )
+    rs = BlockIndexReader(str(root / "scratch"))
+    for q, conj in [("marker common", True), ("common", False), ("common words", True)]:
+        assert _keyed(str(root / "full"), r.search(q, conjunctive=conj)) == \
+            _keyed(str(root / "scratch"), rs.search(q, conjunctive=conj))
+
+
+def test_rebuild_into_same_root_clears_stale_sidecar(spark, tmp_path):
+    """A filtered REBUILD into the same index root (the documented path
+    for huge deletion waves) must not leave the old sidecar masking the
+    new docID axis."""
+    root = tmp_path
+    full_t = _tdf(spark, 10)
+    kw = dict(resume=False, n_buckets=8, num_partitions=4, store_texts=True)
+    build_block_index(full_t, str(root / "idx"), build_id="f", **kw)
+    tombstone_delete(spark, str(root / "idx"), conv_ids=["c002", "c004"])
+    assert has_tombstones(str(root / "idx"))
+    # in-place rebuild on the filtered corpus — new axis, no sidecar
+    build_block_index(
+        full_t.filter(~full_t.conv_id.isin(["c002", "c004"])),
+        str(root / "idx"), build_id="f2", **kw,
+    )
+    assert not has_tombstones(str(root / "idx"))
+    r = BlockIndexReader(str(root / "idx"))
+    assert r.n_docs_live == r.n_docs == 8 * 4
+    assert len(r.search("the", conjunctive=False, k=100)) == 32
+
+
+def test_interrupted_sidecar_swap_is_recoverable(spark, tmp_path):
+    """A writer killed between the two renames of the tombstone swap
+    leaves the old state at deletes.prev: readers must keep trusting it
+    (no silent resurrection) and the next tombstone_delete must heal."""
+    import os
+
+    root = tmp_path
+    full_t = _tdf(spark, 10)
+    kw = dict(resume=False, n_buckets=8, num_partitions=4, store_texts=True)
+    build_block_index(full_t, str(root / "idx"), build_id="f", **kw)
+    tombstone_delete(spark, str(root / "idx"), conv_ids=["c001"])
+    deletes = str(root / "idx" / "deletes")
+    # simulate the kill window: old state renamed away, new never landed
+    os.rename(deletes, deletes + ".prev")
+    assert has_tombstones(str(root / "idx"))  # guards still see it
+    r = BlockIndexReader(str(root / "idx"))
+    assert r.n_docs_live == 36  # reader still masks via the prev state
+    dead_keys = {("c001", t) for t in range(4)}
+    got = _keyed(str(root / "idx"), r.search("the", conjunctive=False, k=100))
+    assert not ({(c, t) for c, t, _ in got} & dead_keys)
+    # the next delete heals the swap and accumulates correctly
+    m = tombstone_delete(spark, str(root / "idx"), conv_ids=["c003"])
+    assert m.n_deleted_total == 8
+    assert os.path.isdir(deletes) and not os.path.isdir(deletes + ".prev")
+
+
+def test_compact_watermark_survives_purge(spark, tmp_path):
+    """Nightly cycles with a purge in the middle: the second incremental
+    compaction must NOT re-absorb the batch whose id_lo falls inside the
+    purged gap (new-batch detection keys on staged_hwm, not n_docs)."""
+    from websearchengine_spark.streaming import ingest
+
+    staging = str(tmp_path / "staging")
+    writer = ingest.make_batch_writer(staging)
+    wave_a = _tdf_pref(spark, "a", 6)
+    writer(wave_a, 0)
+    kw = dict(n_buckets=8, num_partitions=4)
+    ingest.compact(spark, staging, str(tmp_path / "base"), resume=False,
+                   build_id="full0", **kw)
+    # delete MORE docs (16) than the next delta adds (8): the purged
+    # index's live n_docs (16) then falls BELOW the absorbed batch 1's
+    # id_lo (24) — the exact state where n_docs-based detection would
+    # re-absorb batch 1 on the following night and duplicate every doc
+    dead_a = ["a000", "a002", "a003", "a005"]
+    tombstone_delete(
+        spark, str(tmp_path / "base"), conv_ids=dead_a, corpus=wave_a,
+    )
+    wave_b = _tdf_pref(spark, "b", 2)
+    writer(wave_b, 1)
+    m1 = ingest.compact_incremental(
+        spark, staging, str(tmp_path / "base"), str(tmp_path / "m1"), **kw
+    )
+    assert m1.n_docs == (6 - 4 + 2) * 4 == 16  # < batch 1's id_lo of 24
+    wave_c = _tdf_pref(spark, "c", 2)
+    writer(wave_c, 2)
+    m2 = ingest.compact_incremental(
+        spark, staging, str(tmp_path / "m1"), str(tmp_path / "m2"), **kw
+    )
+    # exactly wave c absorbed: nothing dropped, nothing re-absorbed
+    assert m2.n_docs == (6 - 4 + 2 + 2) * 4
+    surv = wave_a.filter(~wave_a.conv_id.isin(dead_a)) \
+        .unionByName(wave_b).unionByName(wave_c)
+    build_block_index(
+        surv, str(tmp_path / "scratch"), build_id="full0", resume=False, **kw
+    )
+    for name, sort_cols in (
+        ("blocks", ["bucket", "kind", "term", "doc_lo"]),
+        ("lexicon", ["term"]),
+        ("doc_stats", ["doc_id"]),
+    ):
+        assert _table_rows(f"{tmp_path}/m2/{name}", sort_cols) == \
+            _table_rows(f"{tmp_path}/scratch/{name}", sort_cols), name
+    # no duplicate turns anywhere
+    import pyarrow.dataset as pds
+    t = pds.dataset(f"{tmp_path}/m2/doc_stats").to_table()
+    keys = list(zip(t.column("conv_id").to_pylist(), t.column("turn_idx").to_pylist()))
+    assert len(keys) == len(set(keys))

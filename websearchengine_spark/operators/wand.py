@@ -387,6 +387,8 @@ class TermCursor:
             self.bi = bi
             self._decode()
             self.pos = 0
+            if self.ids is None:  # landing block + every later one fully
+                return INF        # tombstoned → term exhausted
         self.pos = int(np.searchsorted(self.ids, target, side="left"))
         if self.pos >= len(self.ids):  # gap between blocks
             self.bi += 1
@@ -452,20 +454,26 @@ class BlockIndexReader:
         self._deleted: np.ndarray | None = None
         self._df_corr: dict[str, int] = {}
         self._bf_hi = self._bf_lo = 1.0
-        dmeta = os.path.join(self.paths.deletes, "meta")
+        # trust deletes/ when present, else the crash-recovery
+        # deletes.prev/ left by a writer killed mid-swap (the old complete
+        # state — see delete_index.tombstone_delete's swap protocol)
+        ddir = self.paths.deletes
+        if not os.path.isdir(os.path.join(ddir, "meta")) and os.path.isdir(
+            os.path.join(ddir + ".prev", "meta")
+        ):
+            ddir = ddir + ".prev"
+        dmeta = os.path.join(ddir, "meta")
         if os.path.isdir(dmeta):
             dm = pq.read_table(dmeta).to_pylist()[0]
             n_del = int(dm["n_deleted"])
             if n_del:
                 self._deleted = np.sort(
-                    pq.read_table(os.path.join(self.paths.deletes, "ids"))
+                    pq.read_table(os.path.join(ddir, "ids"))
                     .column("doc_id")
                     .to_numpy()
                     .astype(np.int64)
                 )
-                dfc = pq.read_table(
-                    os.path.join(self.paths.deletes, "df_corr")
-                )
+                dfc = pq.read_table(os.path.join(ddir, "df_corr"))
                 self._df_corr = {
                     t: int(d)
                     for t, d in zip(

@@ -728,10 +728,13 @@ def duplicated_window_stats(
     (``.filter("dup_fraction < 0.5")``).
 
     Plan shape (100-TB audit): tokenize + positional windows + h60 are
-    narrow JVM column ops; the corpus is tokenized ONCE — duplicated
-    hashes come from a count over the wh hash partition (one exchange;
-    the groupBy-then-self-join alternative builds the window stream
-    twice), then the per-doc pass is a groupBy(doc_id) whose
+    narrow JVM column ops; the WINDOW STREAM (the expensive explode) is
+    built once — duplicated hashes come from a count over the wh hash
+    partition (one exchange; the groupBy-then-self-join alternative
+    builds it twice). The per-doc (doc_id, n_tokens) base for the final
+    left join is a SECOND narrow text scan: deliberately so — caching
+    the tokenized corpus to save that scan would spill at corpus scale
+    and cost more than re-reading. The per-doc pass is a groupBy(doc_id) whose
     interval-union runs inside JVM array expressions (sort_array +
     zip_with + aggregate — no Python, state bounded by tokens-per-doc).
     Rows shuffled ≈ token count — the same volume class as the index

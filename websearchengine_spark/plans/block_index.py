@@ -156,6 +156,22 @@ class BlockIndexPaths:
         return self._child("deletes")
 
 
+def _clear_stale_deletes(paths: BlockIndexPaths) -> None:
+    """Remove a leftover tombstone sidecar (plans/delete_index.py) before
+    writing a NEW index into ``paths.root``. Every data table is written
+    mode=overwrite, but the sidecar belongs to the index that previously
+    lived here — left in place it would mask the OLD corpus's doc_ids
+    against the NEW docID axis (arbitrary live docs silently dropped from
+    every query). Called by build/merge/purge on their output root."""
+    if is_table_identifier(paths.root):
+        return
+    import shutil
+
+    shutil.rmtree(paths.deletes, ignore_errors=True)
+    # crash-recovery sibling of the tombstone swap (delete_index.py)
+    shutil.rmtree(paths.deletes + ".prev", ignore_errors=True)
+
+
 def _make_stream_encoder(
     avg_dl: float,
     block_size: int,
@@ -391,6 +407,7 @@ def build_block_index(
     spark = transcripts.sparkSession
     paths = BlockIndexPaths(out_dir)
     t0 = time.time()
+    _clear_stale_deletes(paths)
 
     # Tokenize and RUN-ENCODE in ONE fused mapInPandas over the range-
     # partitioned input (one Python/Arrow crossing of the text column),

@@ -73,6 +73,7 @@ from websearchengine_spark.plans.block_index import (
     BLOCK_SCHEMA,
     BlockIndexPaths,
     BuildMetrics,
+    _clear_stale_deletes,
     _make_stream_encoder,
 )
 from websearchengine_spark.plans.merge_index import (
@@ -96,24 +97,55 @@ DEL_DF_SCHEMA = "term string, ddf long, dcf long"
 DEL_META_SCHEMA = "n_deleted long, deleted_dl long, total_dl long"
 
 
-def delete_paths(paths: BlockIndexPaths) -> tuple[str, str, str]:
+def delete_paths(paths: BlockIndexPaths, base: str | None = None) -> tuple[str, str, str]:
     """(ids, df_corr, meta) table dirs of the tombstone sidecar."""
-    d = paths.deletes
+    d = base if base is not None else paths.deletes
     return os.path.join(d, "ids"), os.path.join(d, "df_corr"), os.path.join(d, "meta")
+
+
+def live_deletes_dir(root: str) -> str | None:
+    """The sidecar directory a READER should trust right now: ``deletes/``
+    when present, else the crash-recovery ``deletes.prev/`` (a process
+    killed between the two renames of the tombstone swap leaves the old
+    complete state there — see tombstone_delete), else None. Read-only;
+    the next tombstone_delete physically heals the rename."""
+    if is_table_identifier(root):
+        return None
+    d = BlockIndexPaths(root).deletes
+    if os.path.isdir(os.path.join(d, "meta")):
+        return d
+    if os.path.isdir(os.path.join(d + ".prev", "meta")):
+        return d + ".prev"
+    return None
 
 
 def has_tombstones(root: str) -> bool:
     """True iff ``root`` carries a tombstone sidecar with ≥1 deleted doc.
     Cheap (reads one tiny meta table) — used by merge/compaction guards."""
-    if is_table_identifier(root):
-        return False
-    _ids, _dfc, meta = delete_paths(BlockIndexPaths(root))
-    if not os.path.isdir(meta):
+    d = live_deletes_dir(root)
+    if d is None:
         return False
     import pyarrow.dataset as ds
 
-    t = ds.dataset(meta).to_table()
+    t = ds.dataset(os.path.join(d, "meta")).to_table()
     return t.num_rows > 0 and int(t.column("n_deleted")[0].as_py()) > 0
+
+
+def _heal_deletes_swap(paths: BlockIndexPaths) -> None:
+    """Finish an interrupted tombstone swap before starting a new one:
+    restore ``deletes/`` from the crash-recovery ``deletes.prev/`` if the
+    second rename never ran, drop a superseded prev/ otherwise, and clear
+    orphaned tmp dirs from dead writers."""
+    import glob
+
+    prev = paths.deletes + ".prev"
+    if os.path.isdir(prev):
+        if os.path.isdir(paths.deletes):
+            shutil.rmtree(prev, ignore_errors=True)
+        else:
+            os.rename(prev, paths.deletes)
+    for tmp in glob.glob(paths.deletes + ".tmp*"):
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @dataclass
@@ -176,6 +208,7 @@ def tombstone_delete(
             "serving reader that consumes them is filesystem-only)"
         )
     paths = BlockIndexPaths(index_dir)
+    _heal_deletes_swap(paths)
     ids_p, dfc_p, meta_p = delete_paths(paths)
     doc_stats = read_table(spark, paths.doc_stats, schema=DOC_STATS_SCHEMA)
     sel, join_cols = _selector(spark, conv_ids, turns)
@@ -269,8 +302,12 @@ def tombstone_delete(
         if old_ids is not None:
             all_ids = all_ids.unionByName(old_ids)
 
-        # write the new sidecar beside the old, then swap — a crash leaves
-        # either the complete old state or the complete new state
+        # write the new sidecar beside the old, then swap via the fixed
+        # crash-recovery name ``deletes.prev``: every reachable state is
+        # safe — an exception restores the old dir here, and a hard KILL
+        # between the two renames leaves the old state at deletes.prev,
+        # which readers trust (live_deletes_dir) and the next
+        # tombstone_delete physically restores (_heal_deletes_swap)
         tmp = paths.deletes + f".tmp{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         try:
@@ -290,11 +327,16 @@ def tombstone_delete(
                 os.path.join(tmp, "meta"),
                 mode="overwrite",
             )
-            old_dir = paths.deletes + f".old{os.getpid()}"
+            prev = paths.deletes + ".prev"
             if os.path.isdir(paths.deletes):
-                os.rename(paths.deletes, old_dir)
-            os.rename(tmp, paths.deletes)
-            shutil.rmtree(old_dir, ignore_errors=True)
+                os.rename(paths.deletes, prev)
+            try:
+                os.rename(tmp, paths.deletes)
+            except BaseException:
+                if os.path.isdir(prev) and not os.path.isdir(paths.deletes):
+                    os.rename(prev, paths.deletes)  # restore old state
+                raise
+            shutil.rmtree(prev, ignore_errors=True)
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
@@ -430,12 +472,15 @@ def purge_deletes(
         )
     paths = BlockIndexPaths(index_dir)
     out_p = BlockIndexPaths(out_dir)
-    ids_p, dfc_p, meta_p = delete_paths(paths)
+    _clear_stale_deletes(out_p)  # reused out_dir: see block_index note
     if not has_tombstones(index_dir):
         raise ValueError(
             f"index at {index_dir} has no tombstones to purge "
             "(tombstone_delete first, or just copy the index)"
         )
+    ids_p, dfc_p, meta_p = delete_paths(
+        paths, base=live_deletes_dir(index_dir)
+    )
     dm = read_table(spark, meta_p, schema=DEL_META_SCHEMA).collect()[0]
     n_deleted, deleted_dl, total_dl = (
         int(dm["n_deleted"]), int(dm["deleted_dl"]), int(dm["total_dl"])
@@ -539,11 +584,21 @@ def purge_deletes(
         mode="overwrite",
     )
     fingerprint = f"{n_live}:{avg_dl:.6f}"
+    # preserve the staging-id-space watermark across the purge: n_docs
+    # shrinks to the live count, but the batches this index has ABSORBED
+    # don't change — compact_incremental keys its new-batch detection on
+    # staged_hwm (see merge_index.py), and deriving it from the purged
+    # n_docs would re-absorb (duplicate) batches in the purged gap
+    staged_hwm = int(meta.get("staged_hwm") or meta["n_docs"])
     write_table(
         spark.createDataFrame(
-            [(build_id, n_live, avg_dl, block_size, n_buckets, fingerprint, 3)],
+            [(
+                build_id, n_live, avg_dl, block_size, n_buckets,
+                fingerprint, 3, staged_hwm,
+            )],
             "build_id string, n_docs long, avg_dl double, block_size int, "
-            "n_buckets int, fingerprint string, block_format int",
+            "n_buckets int, fingerprint string, block_format int, "
+            "staged_hwm long",
         ),
         out_p.meta,
         mode="overwrite",

@@ -63,6 +63,7 @@ from websearchengine_spark.plans.block_index import (
     BLOCK_SCHEMA,
     BlockIndexPaths,
     BuildMetrics,
+    _clear_stale_deletes,
     _make_stream_encoder,
 )
 from websearchengine_spark.sources.catalog import (
@@ -271,6 +272,7 @@ def merge_many_block_indexes(
         _remap_doc_ids,
         delete_paths,
         has_tombstones,
+        live_deletes_dir,
     )
 
     if not purge_tombstones:
@@ -287,6 +289,9 @@ def merge_many_block_indexes(
                 )
     in_ps = [BlockIndexPaths(d) for d in input_dirs]
     out_p = BlockIndexPaths(out_dir)
+    _clear_stale_deletes(out_p)  # a reused out_dir may hold a previous
+    #                              index's tombstone sidecar — stale ids
+    #                              would silently mask the merged axis
     metas = [read_table(spark, p.meta).collect()[0].asDict() for p in in_ps]
     for m, d in zip(metas, input_dirs):
         if int(m.get("block_format", 1)) != 3:
@@ -304,7 +309,7 @@ def merge_many_block_indexes(
     del_state = []
     for d, p in zip(input_dirs, in_ps):
         if purge_tombstones and has_tombstones(d):
-            ids_p, dfc_p, dmeta_p = delete_paths(p)
+            ids_p, dfc_p, dmeta_p = delete_paths(p, base=live_deletes_dir(d))
             dm = read_table(spark, dmeta_p, schema=DEL_META_SCHEMA).collect()[0]
             arr = np.sort(
                 read_table(spark, ids_p, schema=DEL_IDS_SCHEMA)
@@ -490,11 +495,25 @@ def merge_many_block_indexes(
         )
     write_table(ds_union, out_p.doc_stats, mode="overwrite")
     fingerprint = f"{n_docs}:{avg_dl:.6f}"
+    # staged_hwm: the cumulative STAGING-id-space watermark this index has
+    # absorbed — Σ of each input's watermark (its own staged_hwm, else its
+    # n_docs: for an index that never purged, the docID axis IS the
+    # staging axis). A purge shrinks n_docs but not the watermark;
+    # compact_incremental derives "new batches" from this, NOT n_docs —
+    # otherwise the first post-purge compaction would silently re-absorb
+    # (duplicate) every batch whose id_lo falls in the purged gap.
+    staged_hwm = sum(
+        int(m.get("staged_hwm") or m["n_docs"]) for m in metas
+    )
     write_table(
         spark.createDataFrame(
-            [(build_id, n_docs, avg_dl, block_size, n_buckets, fingerprint, 3)],
+            [(
+                build_id, n_docs, avg_dl, block_size, n_buckets,
+                fingerprint, 3, staged_hwm,
+            )],
             "build_id string, n_docs long, avg_dl double, block_size int, "
-            "n_buckets int, fingerprint string, block_format int",
+            "n_buckets int, fingerprint string, block_format int, "
+            "staged_hwm long",
         ),
         out_p.meta,
         mode="overwrite",

@@ -208,7 +208,13 @@ def compact_incremental(
         .collect()[0]
         .asDict()
     )
-    base_n = int(base_meta["n_docs"])
+    # "absorbed" is judged against the STAGING-id-space watermark, not
+    # n_docs: after a purge (tombstoned docs dropped at a compaction) the
+    # index's n_docs is smaller than the id space it has absorbed, and
+    # using it here would re-absorb — duplicate — every batch whose id_lo
+    # falls in the purged gap. Indexes that never purged carry no
+    # staged_hwm and the two numbers coincide.
+    base_n = int(base_meta.get("staged_hwm") or base_meta["n_docs"])
     meta = spark.read.parquet(os.path.join(staging_dir, "_batch_meta"))
     new_batches = [
         int(r["batch_id"])
