@@ -219,6 +219,65 @@ def _materialize_input(spark, replicate: int, out_dir: str) -> int:
     return n
 
 
+def _delete_suite(spark, results: dict, idx_dir: str, corpus) -> None:
+    """Live-deletion lifecycle over the suite's built index (round-5 ops,
+    plans/delete_index.py) — runs LAST because it writes a tombstone
+    sidecar into ``idx_dir``. Three per-round lines: tombstone wall
+    (O(deleted): derive ids + re-tokenize only the deleted turns), a cold
+    search suite over the tombstoned index (the per-decode mask overhead),
+    and the physical purge (every surviving posting re-encoded through
+    the merge exchange)."""
+    import pyarrow.dataset as pds
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators.wand import BlockIndexReader
+    from websearchengine_spark.plans.delete_index import (
+        purge_deletes,
+        tombstone_delete,
+    )
+
+    dead = (
+        spark.read.parquet(os.path.join(idx_dir, "doc_stats"))
+        .select("conv_id")
+        .distinct()
+        .filter(F.crc32("conv_id") % 100 == 0)  # ~1%, deterministic
+    )
+    t0 = time.time()
+    dm = tombstone_delete(spark, idx_dir, conv_ids=dead, corpus=corpus)
+    t_tomb = time.time() - t0
+    results["delete_tombstone_1pct"] = round(t_tomb, 3)
+    lex = (
+        pds.dataset(os.path.join(idx_dir, "lexicon"), partitioning="hive")
+        .to_table(columns=["term", "df"])
+        .to_pandas()
+        .sort_values("df", ascending=False)
+    )
+    top = list(lex["term"].head(6))
+    suite = [top[0], " ".join(top[:2]), " ".join(top[2:5]), " ".join(top[:6:2])]
+    r = BlockIndexReader(idx_dir)
+    t0 = time.time()
+    for q in suite:
+        r.search(q, conjunctive=False, k=10)
+        r.search(q, conjunctive=True, k=10)
+    t_serve = time.time() - t0
+    ptmp = tempfile.mkdtemp(prefix="wse_purge_", dir=TMP_ROOT)
+    try:
+        t0 = time.time()
+        pm = purge_deletes(spark, idx_dir, os.path.join(ptmp, "purged"))
+        t_purge = time.time() - t0
+        results["delete_purge"] = round(t_purge, 3)
+        results["_delete"] = {
+            "n_deleted": dm.n_deleted_total,
+            "tombstone_s": round(t_tomb, 3),
+            "tombstoned_cold_suite_s": round(t_serve, 4),
+            "purge_s": round(t_purge, 3),
+            "purge_postings_per_sec": round(pm.postings_per_sec, 1),
+            "live_docs": pm.n_docs,
+        }
+    finally:
+        shutil.rmtree(ptmp, ignore_errors=True)
+
+
 def _zipf_wand_bench(spark, results: dict) -> None:
     """Block-max pruning on a corpus with REAL tf skew (VERDICT round-2 #6).
 
@@ -595,6 +654,10 @@ def _run_at(master_cores: int, tag: str, results: dict, scaling_only: bool,
                 results[name] = round(time.time() - t0, 3)
         except ImportError:
             pass
+
+        # ---- live-deletion lifecycle (LAST: writes a tombstone sidecar
+        # into the suite index, so every other suite must be done) -------
+        _delete_suite(spark, results, tmp, big)
         return tmp
     except BaseException:
         # tmpfs dirs are pinned host RAM surviving process exit — a failed
@@ -913,6 +976,8 @@ def main() -> None:
     }
     if zipf:
         out["zipf_wand"] = zipf
+    if extras.get("_delete"):
+        out["delete_suite"] = extras["_delete"]
     if marco:
         out["marco_eval"] = marco
     if scaling:
