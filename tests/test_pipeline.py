@@ -543,3 +543,101 @@ def test_duplicated_windows_match_duckdb_oracle(spark):
         ORDER BY b.doc_id
     """).fetchall()
     assert got == sorted(tuple(r) for r in oracle)
+
+
+def test_drop_duplicated_windows_keeps_first_occurrence(spark):
+    rows = [
+        (0, "a b c d e f"),                    # first occurrence survives whole
+        (1, "x y a b c d z w"),                # its "a b c d" copy is cut
+        (2, "m n o p m n o p"),                # self-repeat: second copy cut
+        (3, "totally unique text here now"),   # untouched → original string
+        (4, "Short, one!"),                    # < w tokens, punctuation kept
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.drop_duplicated_windows(d, w=4).collect()}
+    assert out[0]["text"] == "a b c d e f" and out[0]["removed_tokens"] == 0
+    assert out[1]["text"] == "x y z w" and out[1]["removed_tokens"] == 4
+    assert out[2]["text"] == "m n o p" and out[2]["removed_tokens"] == 4
+    assert out[3]["text"] == "totally unique text here now"
+    assert out[4]["text"] == "Short, one!"  # untouched docs keep raw text
+    assert out[4]["n_tokens"] == 2
+
+
+def test_drop_duplicated_windows_is_idempotent_on_survivors(spark):
+    rows = [(0, "p q r s t u"), (1, "p q r s t u"), (2, "k l m n o p q r s t")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    once = dedup.drop_duplicated_windows(d, w=4)
+    again = dedup.drop_duplicated_windows(
+        once.select("doc_id", "text"), w=4
+    )
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in again.collect()}
+    assert a == b               # nothing left to cut on the second pass
+    assert a[0] == "p q r s t u" and a[1] == ""   # doc 1 fully cut
+
+
+def test_drop_duplicated_windows_matches_duckdb_oracle(spark):
+    import duckdb
+    import pandas as pd
+
+    from websearchengine_spark.pipeline.hashing import (
+        sql_h60,
+        sql_shingles,
+        sql_tokens,
+    )
+
+    w = 4
+    boiler = "all rights reserved contact us for details"
+    rows = []
+    for i in range(30):
+        body = f"doc {i} " + " ".join(f"t{(i * 5 + j) % 11}" for j in range(i % 7))
+        if i % 4 == 0:
+            body += " " + boiler
+        if i % 6 == 0:
+            body = boiler + " " + body
+        rows.append((i, body))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in dedup.drop_duplicated_windows(d, w=w).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sh = sql_shingles("l", w, distinct=False)
+    oracle = con.execute(f"""
+        WITH base AS (
+          SELECT doc_id, text, {sql_tokens('text')} AS l FROM docs_in
+        ),
+        wins AS (
+          SELECT doc_id, unnest(range(len({sh}))) AS pos,
+                 unnest(list_transform({sh}, s -> {sql_h60('s')})) AS wh
+          FROM base
+        ),
+        marked AS (
+          SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY wh) AS cnt,
+                 row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+          FROM wins
+        ),
+        per AS (
+          SELECT doc_id, list_sort(list(pos)) AS ps
+          FROM marked WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id
+        ),
+        cut AS (
+          SELECT b.doc_id, b.text, len(b.l)::BIGINT AS n_tokens, p.ps,
+                 list_distinct(flatten(
+                   list_transform(p.ps, s -> range(s, s + {w})))) AS cov
+          FROM base b LEFT JOIN per p USING (doc_id)
+        )
+        SELECT doc_id,
+               CASE WHEN ps IS NULL THEN text
+                    ELSE array_to_string(
+                      list_filter(l, (x, i) -> NOT list_contains(cov, i - 1)),
+                      ' ')
+               END AS text,
+               n_tokens,
+               CASE WHEN ps IS NULL THEN 0 ELSE len(cov) END::BIGINT
+                 AS removed_tokens
+        FROM cut JOIN base USING (doc_id, text)
+        ORDER BY doc_id
+    """).fetchall()
+    assert got == sorted(tuple(r) for r in oracle)

@@ -799,3 +799,90 @@ def duplicated_window_stats(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def drop_duplicated_windows(
+    docs: DataFrame, w: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Exact-substring REMOVAL (the acting half of
+    :func:`duplicated_window_stats` — Lee et al. arXiv:2107.06499 §4 keep
+    one copy, cut the rest): for every w-token window occurring
+    ``min_count``+ times corpus-wide, the GLOBALLY FIRST occurrence (min
+    (doc_id, pos)) survives and every later occurrence's tokens are cut
+    from its document.
+
+    → (doc_id, text, n_tokens, removed_tokens): ``text`` is the original
+    string for untouched docs; edited docs are rebuilt from their
+    surviving tokens joined by single spaces (the tokenizer's
+    normalization — inter-token punctuation inside a removed-or-kept
+    span is not reconstructed, the standard trade of token-level
+    substring dedup). Removal uses the same deterministic total order on
+    every run, so re-running over the same corpus is idempotent in
+    surviving content.
+
+    Plan shape: same skeleton as the stats op — one exchange on the
+    60-bit window hash carrying (doc_id, pos); the keep-first rule is a
+    row_number over (wh → doc_id, pos), the per-doc cut runs in JVM
+    array expressions off a second narrow text scan (see the stats op's
+    docstring for why that scan is cheaper than caching tokens).
+    """
+    if w < 1:
+        raise ValueError("window size w must be >= 1")
+    from pyspark.sql import Window
+
+    base0 = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    wins = base0.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("toks"), k=w, distinct=False)).alias(
+            "pos", "win"
+        ),
+    ).select("doc_id", "pos", h60(F.col("win")).alias("wh"))
+    by_wh = Window.partitionBy("wh")
+    first_order = Window.partitionBy("wh").orderBy("doc_id", "pos")
+    dup = (
+        wins.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(by_wh).alias("cnt"),
+            F.row_number().over(first_order).alias("rn"),
+        )
+        .filter((F.col("cnt") >= min_count) & (F.col("rn") > 1))
+    )
+    per = dup.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    base = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    joined = base.join(per, "doc_id", "left")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("ps"), lambda s: F.sequence(s, s + F.lit(w - 1))
+            )
+        )
+    )
+    n_tokens = F.size("toks").cast("long")
+    # surviving token INDEXES (0-based), then the tokens themselves —
+    # toks is a projected attribute, so element_at inside the lambda is a
+    # cheap attribute read, not a re-evaluated expression (see
+    # hashing.shingles' Catalyst note)
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), n_tokens.cast("int") - 1), covered
+    )
+    clean = F.concat_ws(
+        " ", F.transform(kept_idx, lambda i: F.element_at("toks", i + 1))
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("ps").isNull(), F.col("text"))
+        .otherwise(clean)
+        .alias("text"),
+        n_tokens.alias("n_tokens"),
+        # explicit when(): size(NULL) is -1 under non-ANSI Spark defaults,
+        # so a coalesce would not catch the untouched-doc case
+        F.when(F.col("ps").isNull(), F.lit(0))
+        .otherwise(F.size(covered))
+        .cast("long")
+        .alias("removed_tokens"),
+    )
