@@ -288,3 +288,116 @@ def test_ann_and_ivf_indexes_handle_empty_vectors(spark, tmp_path):
     ivf = IvfService(ivf_out)
     assert ivf.probe_lists(q, nprobe=2) == []
     assert ivf.search_vector(q, k=5, nprobe=2) == []
+
+
+# ---------------------------------------------------------------------------
+# vector deletion (partition-pruned physical delete)
+
+
+def test_delete_vectors_partition_pruned(spark, tmp_path):
+    """delete_vectors must (a) remove exactly the requested ids, (b) leave
+    every UNAFFECTED partition's files byte-untouched (the scale
+    property: a delete rewrites only the partitions it hits), (c) serve
+    results equal to the original index's ranking with the deleted ids
+    filtered out — survivors' buckets/cosines don't change."""
+    import os
+
+    import numpy as np
+    import pyarrow.dataset as pds
+
+    from websearchengine_spark.operators.ann_service import AnnService, IvfService
+    from websearchengine_spark.plans.ann_index import (
+        build_ann_index,
+        build_ivf_index,
+        delete_vectors,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvecs = {
+        r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 4").collect()
+    }
+    dead = [int(r["vec_id"]) for r in emb.filter("vec_id % 7 = 1").collect()]
+    assert 2 not in dead and len(dead) > 10
+
+    def part_files(vdir, pc, parts):
+        out = {}
+        for p in parts:
+            d = os.path.join(vdir, f"{pc}={p}")
+            for f in sorted(os.listdir(d)):
+                st = os.stat(os.path.join(d, f))
+                out[(p, f)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    for kind, build, svc_cls, pc, kw in (
+        ("ann", build_ann_index, AnnService, "sig", dict(n_planes=6)),
+        ("ivf", build_ivf_index, IvfService, "list_id", dict(n_lists=8)),
+    ):
+        root = str(tmp_path / kind)
+        meta0 = build(emb, root, **kw)
+        before = {
+            qid: svc_cls(root).search_vector(qv, k=500)
+            for qid, qv in qvecs.items()
+        }
+        tbl = pds.dataset(
+            os.path.join(root, "vectors"), partitioning="hive"
+        ).to_table(columns=["vec_id", pc])
+        part_of = dict(
+            zip(tbl.column("vec_id").to_pylist(), tbl.column(pc).to_pylist())
+        )
+        affected = {part_of[v] for v in dead}
+        untouched = sorted(set(part_of.values()) - affected)
+        snap = part_files(os.path.join(root, "vectors"), pc, untouched)
+        m = delete_vectors(spark, root, dead)
+        assert m["n_deleted"] == len(dead), kind
+        assert m["partitions_rewritten"] + m["partitions_removed"] == len(
+            affected
+        ), kind
+        # unaffected partitions: identical bytes on disk
+        assert part_files(os.path.join(root, "vectors"), pc, untouched) == snap
+        svc = svc_cls(root)
+        assert svc.n_vectors == meta0["n_vectors"] - len(dead)
+        deadset = set(dead)
+        for qid, qv in qvecs.items():
+            got = svc.search_vector(qv, k=10)
+            want = [
+                (i + 1, v, c)
+                for i, (_r, v, c) in enumerate(
+                    r for r in before[qid] if r[1] not in deadset
+                )
+            ][:10]
+            assert got == want, (kind, qid)
+            assert not ({v for _r, v, _c in got} & deadset)
+        # idempotent: re-deleting the same ids is a no-op
+        m2 = delete_vectors(spark, root, dead)
+        assert m2["n_deleted"] == 0
+
+
+def test_delete_vectors_empties_a_bucket(spark, tmp_path):
+    import os
+
+    import pyarrow.dataset as pds
+
+    from websearchengine_spark.plans.ann_index import (
+        build_ann_index,
+        delete_vectors,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "ann")
+    meta0 = build_ann_index(emb, root, n_planes=6)
+    tbl = pds.dataset(
+        os.path.join(root, "vectors"), partitioning="hive"
+    ).to_table(columns=["vec_id", "sig"])
+    sigs = tbl.column("sig").to_pylist()
+    vids = tbl.column("vec_id").to_pylist()
+    victim = sigs[0]
+    dead = [v for v, s in zip(vids, sigs) if s == victim]
+    m = delete_vectors(spark, root, dead)
+    assert m["partitions_removed"] == 1
+    assert not os.path.isdir(os.path.join(root, "vectors", f"sig={victim}"))
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(os.path.join(root, "meta")).to_pylist()[0]
+    assert meta["n_buckets_used"] == meta0["n_buckets_used"] - 1
+    assert meta["n_vectors"] == meta0["n_vectors"] - len(dead)

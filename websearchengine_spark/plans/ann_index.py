@@ -122,3 +122,114 @@ def build_ivf_index(
         [tuple(meta.values())], "n_vectors long, dim int, n_lists int"
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "meta"))
     return meta
+
+
+def delete_vectors(spark: SparkSession, index_dir: str, vec_ids) -> dict:
+    """Physically delete vectors from a materialized ANN/IVF index —
+    partition-pruned: a vec_id lives in exactly one hive partition
+    (its LSH bucket / IVF list), so only the AFFECTED partitions are
+    rewritten and everything else is untouched bytes. Unlike the text
+    index (plans/delete_index.py — dense docIDs force a tombstone +
+    renumbering compaction), vec_ids are stable identifiers, so vector
+    deletion needs no tombstone phase at all: at 10^9 vectors deleting a
+    thousand ids rewrites ~a thousand partitions' files, not the index.
+
+    Works on both layouts (``sig`` from build_ann_index, ``list_id`` from
+    build_ivf_index; auto-detected from meta). The IVF coarse quantizer
+    (centroids sidecar) is deliberately left as trained — the standard
+    IVF behavior; rebuild the index to retrain. Serving needs no new
+    code: AnnService/IvfService simply no longer find the rows — but a
+    service CONSTRUCTED BEFORE the delete holds its pyarrow dataset's
+    file listing and may error on the swapped files; construct services
+    after the delete completes (the same reader-after-write constraint
+    as the text index's tombstone sidecar).
+
+    Cost shape: one column-pruned locate scan (vec_id + partition col
+    only) to find affected partitions, one Spark job over JUST those
+    partitions (partition-pruned read → filtered rewrite into a temp dir
+    → per-partition directory swap), and a meta rewrite. Returns
+    {n_deleted, partitions_rewritten, partitions_removed}."""
+    import shutil
+    import tempfile
+
+    meta = (
+        spark.read.parquet(os.path.join(index_dir, "meta"))
+        .collect()[0]
+        .asDict()
+    )
+    pc = "sig" if "n_planes" in meta else "list_id"
+    vdir = os.path.join(index_dir, "vectors")
+    out = {"n_deleted": 0, "partitions_rewritten": 0, "partitions_removed": 0}
+    if int(meta["n_vectors"]) == 0:
+        return out
+    ids_df = (
+        vec_ids
+        if isinstance(vec_ids, DataFrame)
+        else spark.createDataFrame([(int(i),) for i in vec_ids], "vec_id long")
+    ).select("vec_id").distinct()
+    vecs = spark.read.parquet(vdir)
+    # locate scan: which partitions hold deleted ids, and how many each
+    per_part = {
+        int(r[pc]): int(r["n"])
+        for r in vecs.select(pc, "vec_id")
+        .join(F.broadcast(ids_df), "vec_id", "left_semi")
+        .groupBy(pc)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_deleted = sum(per_part.values())
+    if n_deleted == 0:
+        return out
+    affected = sorted(per_part)
+    cur = {
+        int(r[pc]): int(r["n"])
+        for r in vecs.filter(F.col(pc).isin(affected))
+        .groupBy(pc)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    emptied = [p for p in affected if cur[p] == per_part[p]]
+    remain = [p for p in affected if cur[p] > per_part[p]]
+    tmp = tempfile.mkdtemp(prefix="wse_vec_del_", dir=os.path.dirname(vdir))
+    try:
+        if remain:
+            # survivors of the affected partitions only — written to a
+            # sibling tmp (Spark refuses overwriting a path being read),
+            # then each partition dir is swapped in place
+            (
+                vecs.filter(F.col(pc).isin(remain))
+                .join(F.broadcast(ids_df), "vec_id", "left_anti")
+                .repartition(pc)
+                # partition col leads the sort (see build_ann_index /
+                # CLAUDE.md: the writer otherwise inserts an unstable sort)
+                .sortWithinPartitions(pc, "vec_id")
+                .write.partitionBy(pc)
+                .mode("overwrite")
+                .parquet(os.path.join(tmp, "vectors"))
+            )
+        for p in affected:
+            dst = os.path.join(vdir, f"{pc}={p}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if p in remain:
+                os.rename(os.path.join(tmp, "vectors", f"{pc}={p}"), dst)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    meta["n_vectors"] = int(meta["n_vectors"]) - n_deleted
+    if "n_buckets_used" in meta:
+        meta["n_buckets_used"] = int(meta["n_buckets_used"]) - len(emptied)
+    schema = (
+        "n_vectors long, dim int, n_planes int, fixed_point long, "
+        "n_buckets_used int"
+        if pc == "sig"
+        else "n_vectors long, dim int, n_lists int"
+    )
+    cols = [f.strip().split(" ")[0] for f in schema.split(",")]
+    spark.createDataFrame(
+        [tuple(meta[c] for c in cols)], schema
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    out.update(
+        n_deleted=n_deleted,
+        partitions_rewritten=len(remain),
+        partitions_removed=len(emptied),
+    )
+    return out
