@@ -159,9 +159,20 @@ def test_m3_round5_tagged_paths_engage(spark):
         for r in pq.read_table(f).to_pylist()
     ]
     assert ckpt and all("merge" in str(r["build_id"]) for r in ckpt), ckpt
-    # and it answers exactly like the from-scratch index
+    # ... and it carries LIVE tombstones (the chaff docs merged in and
+    # deleted again — late round-5): the reader must be masking and
+    # correcting stats, not serving a clean index that happens to match
+    from websearchengine_spark.plans.delete_index import has_tombstones
+
+    assert has_tombstones(mroot)
     mreader = BlockIndexReader(mroot)
     sreader = BlockIndexReader(root)
+    assert mreader._deleted is not None and len(mreader._deleted) > 0
+    assert mreader.n_docs_live == sreader.n_docs < mreader.n_docs
+    # the chaff reused real texts, so the avg_dl/df corrections are
+    # non-trivial — and the answers must STILL be bitwise-identical to
+    # the clean from-scratch index
+    assert mreader.avg_dl == sreader.avg_dl
     for _, q in g.GATE_QUERIES:
         assert mreader.search(q, conjunctive=True, k=10) == sreader.search(
             q, conjunctive=True, k=10

@@ -856,16 +856,31 @@ def _serving_index_merged(spark: SparkSession, sf_dir: str) -> str:
     and the merge is content-identical to a from-scratch union build in
     this regime (pinned in tests/test_merge_index.py), so the gate serves
     the SAME answers against the UNCHANGED DuckDB oracle — the driver's
-    hash check now covers the merge path end-to-end."""
+    hash check now covers the merge path end-to-end.
+
+    Late round-5, the gate additionally covers LIVE DELETION
+    (plans/delete_index.py): the delta carries CHAFF copies of real
+    documents (conv_id prefixed '~~chaff~' — '~' sorts after every
+    alphanumeric source, so corpus docIDs are untouched), and the merged
+    index is then tombstone-deleted back down to the corpus. The chaff
+    reuses real texts, so N / avg_dl / every shared term's df all shift
+    and the sidecar's exact corrections must undo them BITWISE
+    (tests/test_delete_index.py's invariant) for the unchanged oracle
+    hash to match — the driver now re-proves tombstone scoring every
+    round."""
     if sf_dir not in _SERVING_MERGED_CACHE:
         import tempfile
 
         from websearchengine_spark.plans.block_index import build_block_index
+        from websearchengine_spark.plans.delete_index import tombstone_delete
         from websearchengine_spark.plans.merge_index import merge_block_indexes
 
         transcripts = _gate_transcripts(spark, sf_dir)
         n_docs = transcripts.count()
         split = max(1, (n_docs * 4) // 5)  # delta = last ~20% of docIDs
+        chaff = transcripts.filter(F.col("turn_idx") < 20).withColumn(
+            "conv_id", F.concat(F.lit("~~chaff~"), F.col("conv_id"))
+        )
         base_dir = tempfile.mkdtemp(prefix="wse_gate_base_")
         delta_dir = tempfile.mkdtemp(prefix="wse_gate_delta_")
         out = tempfile.mkdtemp(prefix="wse_gate_merged_")
@@ -874,10 +889,15 @@ def _serving_index_merged(spark: SparkSession, sf_dir: str) -> str:
             base_dir, resume=False, n_buckets=8, num_partitions=8,
         )
         build_block_index(
-            transcripts.filter(F.col("turn_idx") >= split),
+            transcripts.filter(F.col("turn_idx") >= split).unionByName(chaff),
             delta_dir, resume=False, n_buckets=8, num_partitions=8,
         )
         merge_block_indexes(spark, base_dir, delta_dir, out, n_buckets=8)
+        tombstone_delete(
+            spark, out,
+            conv_ids=chaff.select("conv_id").distinct(),
+            corpus=chaff,
+        )
         _SERVING_MERGED_CACHE[sf_dir] = out
     return _SERVING_MERGED_CACHE[sf_dir]
 
