@@ -563,7 +563,9 @@ def test_drop_duplicated_windows_keeps_first_occurrence(spark):
     assert out[4]["n_tokens"] == 2
 
 
-def test_drop_duplicated_windows_is_idempotent_on_survivors(spark):
+def test_drop_duplicated_windows_single_pass_semantics(spark):
+    # deterministic single-pass behavior: when no cut juxtaposes tokens
+    # into NEW duplicate windows, a second pass finds nothing more
     rows = [(0, "p q r s t u"), (1, "p q r s t u"), (2, "k l m n o p q r s t")]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     once = dedup.drop_duplicated_windows(d, w=4)
@@ -574,6 +576,18 @@ def test_drop_duplicated_windows_is_idempotent_on_survivors(spark):
     b = {r["doc_id"]: r["text"] for r in again.collect()}
     assert a == b               # nothing left to cut on the second pass
     assert a[0] == "p q r s t u" and a[1] == ""   # doc 1 fully cut
+    # ...and the documented NON-idempotent case: a cut juxtaposes 'x'/'z'
+    # into the duplicated window 'x z', which only a second pass can see
+    rows2 = [(0, "a b"), (1, "x z"), (2, "x a b z")]
+    d2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    p1 = {r["doc_id"]: r["text"]
+          for r in dedup.drop_duplicated_windows(d2, w=2).collect()}
+    assert p1[2] == "x z"       # first pass cuts only the 'a b' copy
+    p2 = {r["doc_id"]: r["text"]
+          for r in dedup.drop_duplicated_windows(
+              dedup.drop_duplicated_windows(d2, w=2)
+              .select("doc_id", "text"), w=2).collect()}
+    assert p2[2] == ""          # the residue falls on the second pass
 
 
 def test_drop_duplicated_windows_matches_duckdb_oracle(spark):

@@ -401,3 +401,60 @@ def test_delete_vectors_empties_a_bucket(spark, tmp_path):
     meta = pq.read_table(os.path.join(root, "meta")).to_pylist()[0]
     assert meta["n_buckets_used"] == meta0["n_buckets_used"] - 1
     assert meta["n_vectors"] == meta0["n_vectors"] - len(dead)
+
+
+def test_delete_vectors_interrupted_swap_heals(spark, tmp_path):
+    """A kill between the park and replace renames must never lose the
+    parked partition: the next delete_vectors call restores it."""
+    import os
+    import shutil
+
+    from websearchengine_spark.operators.ann_service import AnnService
+    from websearchengine_spark.plans.ann_index import (
+        build_ann_index,
+        delete_vectors,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "ann")
+    meta0 = build_ann_index(emb, root, n_planes=6)
+    vdir = os.path.join(root, "vectors")
+    victim = sorted(os.listdir(vdir))[0]
+    # simulate the crash window: live dir parked, replacement never landed
+    os.makedirs(vdir + ".swap", exist_ok=True)
+    os.rename(os.path.join(vdir, victim), os.path.join(vdir + ".swap", victim))
+    assert not os.path.isdir(os.path.join(vdir, victim))
+    m = delete_vectors(spark, root, [])  # heal runs even on a no-op call
+    assert m["n_deleted"] == 0
+    assert os.path.isdir(os.path.join(vdir, victim))
+    assert not os.path.isdir(vdir + ".swap")
+    svc = AnnService(root)
+    assert svc.n_vectors == meta0["n_vectors"]  # nothing lost
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_delete_all_vectors_services_answer_empty(spark, tmp_path):
+    import numpy as np
+
+    from websearchengine_spark.operators.ann_service import AnnService, IvfService
+    from websearchengine_spark.plans.ann_index import (
+        build_ann_index,
+        build_ivf_index,
+        delete_vectors,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    all_ids = [int(r["vec_id"]) for r in emb.select("vec_id").collect()]
+    q = np.ones(64)
+    for kind, build, svc_cls, kw in (
+        ("ann", build_ann_index, AnnService, dict(n_planes=6)),
+        ("ivf", build_ivf_index, IvfService, dict(n_lists=8)),
+    ):
+        root = str(tmp_path / kind)
+        build(emb, root, **kw)
+        m = delete_vectors(spark, root, all_ids)
+        assert m["n_deleted"] == len(all_ids)
+        assert m["partitions_removed"] > 0 and m["partitions_rewritten"] == 0
+        svc = svc_cls(root)
+        assert svc.n_vectors == 0
+        assert svc.search_vector(q, k=5) == [], kind

@@ -129,7 +129,11 @@ class IvfService:
 
     def probe_lists(self, qv: np.ndarray, nprobe: int) -> list[int]:
         """The nprobe nearest lists by (ROUND(cos,6) DESC, list_id ASC)."""
-        if not len(self._cents):  # empty index: no centroids to probe
+        # n_vectors == 0 covers the delete_vectors-emptied index too: the
+        # centroids sidecar survives (the quantizer stays as trained) but
+        # every list partition is gone, and a fragment-less dataset read
+        # raises instead of returning zero rows
+        if not self.n_vectors or not len(self._cents):
             return []
         qv = np.asarray(qv, dtype=np.float64)
         nq = float(np.cumsum(qv * qv)[-1]) if len(qv) else 0.0

@@ -816,9 +816,18 @@ def drop_duplicated_windows(
     surviving tokens joined by single spaces (the tokenizer's
     normalization — inter-token punctuation inside a removed-or-kept
     span is not reconstructed, the standard trade of token-level
-    substring dedup). Removal uses the same deterministic total order on
-    every run, so re-running over the same corpus is idempotent in
-    surviving content.
+    substring dedup).
+
+    SINGLE-PASS semantics, stated honestly (the same shape Lee et al.
+    run): cuts are decided against the ORIGINAL corpus. Removal is
+    deterministic (same input → same output), but a cut can juxtapose
+    previously-distant tokens into a w-window that is itself duplicated
+    — a SECOND pass may find (and cut) residual duplicates the first
+    could not see, so the op is not idempotent in general; run
+    :func:`duplicated_window_stats` on the output to measure residue.
+    Likewise "keep the first occurrence" is per-window: when two
+    duplicated windows overlap, cutting one copy can remove tokens that
+    belonged to the kept-first occurrence of the other.
 
     Plan shape: same skeleton as the stats op — one exchange on the
     60-bit window hash carrying (doc_id, pos); the keep-first rule is a

@@ -147,8 +147,12 @@ def delete_vectors(spark: SparkSession, index_dir: str, vec_ids) -> dict:
     Cost shape: one column-pruned locate scan (vec_id + partition col
     only) to find affected partitions, one Spark job over JUST those
     partitions (partition-pruned read → filtered rewrite into a temp dir
-    → per-partition directory swap), and a meta rewrite. Returns
-    {n_deleted, partitions_rewritten, partitions_removed}."""
+    → per-partition directory swap), and a meta rewrite. The swap parks
+    each live partition dir under ``vectors.swap/`` before renaming its
+    replacement in, and the next delete_vectors call heals any partition
+    a crash left parked — survivors are never silently lost (the same
+    park-then-rename protocol as the text index's tombstone sidecar).
+    Returns {n_deleted, partitions_rewritten, partitions_removed}."""
     import shutil
     import tempfile
 
@@ -159,6 +163,20 @@ def delete_vectors(spark: SparkSession, index_dir: str, vec_ids) -> dict:
     )
     pc = "sig" if "n_planes" in meta else "list_id"
     vdir = os.path.join(index_dir, "vectors")
+    swap = vdir + ".swap"
+    # heal an interrupted swap: a parked partition whose live dir is
+    # missing means the crash hit between the two renames — restore it
+    # (the parked copy is the complete pre-delete state); a parked dir
+    # whose live dir exists was superseded — drop it
+    if os.path.isdir(swap):
+        for name in os.listdir(swap):
+            dst = os.path.join(vdir, name)
+            src = os.path.join(swap, name)
+            if os.path.isdir(dst):
+                shutil.rmtree(src, ignore_errors=True)
+            else:
+                os.rename(src, dst)
+        shutil.rmtree(swap, ignore_errors=True)
     out = {"n_deleted": 0, "partitions_rewritten": 0, "partitions_removed": 0}
     if int(meta["n_vectors"]) == 0:
         return out
@@ -168,11 +186,13 @@ def delete_vectors(spark: SparkSession, index_dir: str, vec_ids) -> dict:
         else spark.createDataFrame([(int(i),) for i in vec_ids], "vec_id long")
     ).select("vec_id").distinct()
     vecs = spark.read.parquet(vdir)
-    # locate scan: which partitions hold deleted ids, and how many each
+    # locate scan: which partitions hold deleted ids, and how many each.
+    # No broadcast hint: a bulk right-to-be-forgotten batch can be
+    # millions of ids — let Spark pick the join strategy by size
     per_part = {
         int(r[pc]): int(r["n"])
         for r in vecs.select(pc, "vec_id")
-        .join(F.broadcast(ids_df), "vec_id", "left_semi")
+        .join(ids_df, "vec_id", "left_semi")
         .groupBy(pc)
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -195,10 +215,12 @@ def delete_vectors(spark: SparkSession, index_dir: str, vec_ids) -> dict:
         if remain:
             # survivors of the affected partitions only — written to a
             # sibling tmp (Spark refuses overwriting a path being read),
-            # then each partition dir is swapped in place
+            # then each partition dir is swapped in place. The isin()
+            # literal is bounded by the index layout (≤ 2^n_planes
+            # buckets / n_lists), not by the deletion size.
             (
                 vecs.filter(F.col(pc).isin(remain))
-                .join(F.broadcast(ids_df), "vec_id", "left_anti")
+                .join(ids_df, "vec_id", "left_anti")
                 .repartition(pc)
                 # partition col leads the sort (see build_ann_index /
                 # CLAUDE.md: the writer otherwise inserts an unstable sort)
@@ -207,16 +229,34 @@ def delete_vectors(spark: SparkSession, index_dir: str, vec_ids) -> dict:
                 .mode("overwrite")
                 .parquet(os.path.join(tmp, "vectors"))
             )
+        # crash-safe per-partition swap: park the live dir OUTSIDE
+        # vectors/ (a sibling name inside would break hive partition
+        # discovery), rename the replacement in, then drop the parked
+        # copy — a kill at any point leaves the survivors recoverable
+        # (heal loop at function entry)
+        os.makedirs(swap, exist_ok=True)
         for p in affected:
             dst = os.path.join(vdir, f"{pc}={p}")
-            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(dst, os.path.join(swap, f"{pc}={p}"))
             if p in remain:
                 os.rename(os.path.join(tmp, "vectors", f"{pc}={p}"), dst)
+        shutil.rmtree(swap, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    meta["n_vectors"] = int(meta["n_vectors"]) - n_deleted
+    # exact recount, not a decrement: after a crash-retry some partitions
+    # were already swapped by the earlier attempt, so arithmetic drifts —
+    # parquet footers make the recount metadata-only, and the partition
+    # dir listing IS the bucket count
+    part_dirs = (
+        [d for d in os.listdir(vdir) if "=" in d]
+        if os.path.isdir(vdir)
+        else []
+    )
+    meta["n_vectors"] = (
+        int(spark.read.parquet(vdir).count()) if part_dirs else 0
+    )
     if "n_buckets_used" in meta:
-        meta["n_buckets_used"] = int(meta["n_buckets_used"]) - len(emptied)
+        meta["n_buckets_used"] = len(part_dirs)
     schema = (
         "n_vectors long, dim int, n_planes int, fixed_point long, "
         "n_buckets_used int"
