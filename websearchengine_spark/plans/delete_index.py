@@ -62,7 +62,6 @@ from dataclasses import dataclass
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from websearchengine_spark.functions.codec import (
     concat_binary_column,
@@ -70,18 +69,20 @@ from websearchengine_spark.functions.codec import (
     vb_decode,
 )
 from websearchengine_spark.plans.block_index import (
-    BLOCK_SCHEMA,
     BlockIndexPaths,
     BuildMetrics,
     _clear_stale_deletes,
-    _make_stream_encoder,
 )
 from websearchengine_spark.plans.merge_index import (
     DOC_STATS_SCHEMA,
     LEXICON_READ_SCHEMA,
     RUNS_SCHEMA,
     TEXTS_SCHEMA,
+    _finalize_metrics,
     _leaf_blocks,
+    _salt_encode_write_blocks,
+    _write_lexicon,
+    _write_meta,
 )
 from websearchengine_spark.sources.catalog import (
     is_table_identifier,
@@ -310,21 +311,20 @@ def tombstone_delete(
         # tombstone_delete physically restores (_heal_deletes_swap)
         tmp = paths.deletes + f".tmp{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
+        tmp_ids, tmp_dfc, tmp_meta = delete_paths(paths, base=tmp)
         try:
             write_table(
                 all_ids.coalesce(1).sortWithinPartitions("doc_id"),
-                os.path.join(tmp, "ids"),
+                tmp_ids,
                 mode="overwrite",
             )
-            write_table(
-                new_dfc, os.path.join(tmp, "df_corr"), mode="overwrite"
-            )
+            write_table(new_dfc, tmp_dfc, mode="overwrite")
             write_table(
                 spark.createDataFrame(
                     [(old_n + n_new, old_dl + dl_new, total_dl)],
                     DEL_META_SCHEMA,
                 ),
-                os.path.join(tmp, "meta"),
+                tmp_meta,
                 mode="overwrite",
             )
             prev = paths.deletes + ".prev"
@@ -519,61 +519,13 @@ def purge_deletes(
     runs = _leaf_blocks(spark, paths).mapInArrow(
         _blocks_to_purged_runs(bc), RUNS_SCHEMA
     )
-    # hot-term salting + (term, salt) exchange + streaming encoder — the
-    # same downstream as a fresh build / merge (merge_index.py for the
-    # overflow-safe salt arithmetic rationale)
-    nd = max(n_live, 1)
-    hot_df = lexicon.filter(F.col("df") > hot_df_threshold).select(
-        "term",
-        F.ceil(
-            F.lit(nd) / F.ceil(F.col("df") / F.lit(target_group_size))
-        ).cast("long").alias("salt_span"),
+    # hot-term salting + (term, salt) exchange + streaming encoder +
+    # bucketed writes — the same shared tail as the k-way merge
+    _salt_encode_write_blocks(
+        spark, runs, lexicon, n_live, hot_df_threshold, target_group_size,
+        num_partitions, avg_dl, block_size, n_buckets, out_p,
     )
-    salted = runs.join(F.broadcast(hot_df), "term", "left").withColumn(
-        "salt",
-        F.expr(f"CAST(run_pos DIV coalesce(salt_span, {nd}L) AS INT)"),
-    ).select("term", "salt", "run_pos", "n", "ids_vb", "tfs_vb", "dls_vb")
-    n_exch = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
-    blocks = (
-        salted.repartition(n_exch, "term", "salt")
-        .sortWithinPartitions("term", "salt", "run_pos")
-        .mapInArrow(
-            _make_stream_encoder(avg_dl, block_size, n_buckets, None),
-            BLOCK_SCHEMA,
-        )
-    )
-    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    prev_batch = spark.conf.get(batch_key, "10000")
-    spark.conf.set(batch_key, str(1 << 15))
-    try:
-        write_table(
-            # bucket leads the sort — see merge_index.py / CLAUDE.md: the
-            # V1 writer otherwise inserts an UNSTABLE Sort(bucket) that
-            # permutes rows within bucket files
-            blocks.repartition("bucket").sortWithinPartitions(
-                "bucket", "kind", "term", "doc_lo"
-            ),
-            out_p.blocks,
-            mode="overwrite",
-            partition_by=("bucket",),
-            options={"parquet.block.size": 1 << 20},
-        )
-    finally:
-        spark.conf.set(batch_key, prev_batch)
-
-    write_table(
-        lexicon.withColumn(
-            "bucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
-        )
-        .repartition("bucket")
-        .sortWithinPartitions("bucket", "term"),
-        out_p.lexicon,
-        mode="overwrite",
-        partition_by=("bucket",),
-        options={"parquet.block.size": 256 << 10},
-    )
+    _write_lexicon(lexicon, out_p, n_buckets)
     write_table(
         _remap_doc_ids(
             read_table(spark, paths.doc_stats, schema=DOC_STATS_SCHEMA),
@@ -583,25 +535,15 @@ def purge_deletes(
         out_p.doc_stats,
         mode="overwrite",
     )
-    fingerprint = f"{n_live}:{avg_dl:.6f}"
     # preserve the staging-id-space watermark across the purge: n_docs
     # shrinks to the live count, but the batches this index has ABSORBED
     # don't change — compact_incremental keys its new-batch detection on
     # staged_hwm (see merge_index.py), and deriving it from the purged
     # n_docs would re-absorb (duplicate) batches in the purged gap
     staged_hwm = int(meta.get("staged_hwm") or meta["n_docs"])
-    write_table(
-        spark.createDataFrame(
-            [(
-                build_id, n_live, avg_dl, block_size, n_buckets,
-                fingerprint, 3, staged_hwm,
-            )],
-            "build_id string, n_docs long, avg_dl double, block_size int, "
-            "n_buckets int, fingerprint string, block_format int, "
-            "staged_hwm long",
-        ),
-        out_p.meta,
-        mode="overwrite",
+    fingerprint = _write_meta(
+        spark, out_p, build_id, n_live, avg_dl, block_size, n_buckets,
+        staged_hwm,
     )
     if os.path.isdir(paths.texts):
         # filtered + remapped sidecar: the monotone remap preserves each
@@ -617,53 +559,9 @@ def purge_deletes(
             options={"parquet.block.size": 256 << 10},
         )
 
-    # per-bucket lineage + metrics (purge provenance) — same accounting
-    # shape as build/merge checkpoints
-    read_schema = T.StructType(
-        [f for f in BLOCK_SCHEMA.fields if f.name != "bucket"]
-        + [T.StructField("bucket", T.IntegerType(), True)]
+    metrics = _finalize_metrics(
+        spark, out_p, build_id, fingerprint, n_live, avg_dl, t0
     )
-    wall_s = time.time() - t0
-    per_bucket = {
-        r["bucket"]: r
-        for r in read_table(spark, out_p.blocks, schema=read_schema)
-        .filter(F.col("kind") == 0)
-        .groupBy("bucket")
-        .agg(F.sum("n").alias("n_postings"), F.count(F.lit(1)).alias("n_blocks"))
-        .collect()
-    }
-    now = time.time()
-    cp_rows = [
-        (
-            build_id, int(bkt), "done", fingerprint,
-            int(r["n_postings"]), int(r["n_blocks"]), 0,
-            float(wall_s),
-            float(int(r["n_postings"]) / wall_s) if wall_s > 0 else 0.0,
-            float(now),
-        )
-        for bkt, r in per_bucket.items()
-    ]
-    if cp_rows:
-        write_table(
-            spark.createDataFrame(
-                cp_rows,
-                "build_id string, bucket int, status string, fingerprint string, "
-                "n_postings long, n_blocks long, bytes_compressed long, "
-                "wall_s double, postings_per_sec double, ts double",
-            ),
-            out_p.checkpoints,
-            mode="append",
-        )
     lexicon.unpersist()
     bc.unpersist()
-    n_postings = sum(int(r["n_postings"]) for r in per_bucket.values())
-    return BuildMetrics(
-        build_id=build_id,
-        n_docs=n_live,
-        avg_dl=avg_dl,
-        n_postings=n_postings,
-        n_buckets_built=len(per_bucket),
-        n_buckets_skipped=0,
-        wall_s=wall_s,
-        postings_per_sec=(n_postings / wall_s) if wall_s > 0 else 0.0,
-    )
+    return metrics

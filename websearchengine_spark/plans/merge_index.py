@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import os
 import time
+from typing import NamedTuple
 
 import numpy as np
 from pyspark.sql import SparkSession
@@ -76,6 +77,16 @@ RUNS_SCHEMA = (
     "term string, run_pos long, n long, ids_vb binary, tfs_vb binary, "
     "dls_vb binary"
 )
+
+
+class _DelState(NamedTuple):
+    """One input's tombstone-sidecar state (purge_tombstones=True)."""
+
+    ids_bc: object            # broadcast of the sorted deleted doc_ids
+    df_corr: object           # DataFrame (term, ddf, dcf)
+    n_deleted: int
+    deleted_dl: int
+    total_dl: int
 
 # explicit read schemas for the sidecar tables (the layouts
 # plans.block_index writes): an index built over an EMPTY input — a quiet
@@ -170,6 +181,176 @@ def _leaf_blocks(spark: SparkSession, paths: BlockIndexPaths):
         read_table(spark, paths.blocks, schema=read_schema)
         .filter(F.col("kind") == 0)
         .select("term", "doc_lo", "n", "ids_vb", "tfs_vb", "dls_vb")
+    )
+
+
+def _salt_encode_write_blocks(
+    spark: SparkSession,
+    runs,
+    lexicon,
+    n_docs: int,
+    hot_df_threshold: int,
+    target_group_size: int,
+    num_partitions: int | None,
+    avg_dl: float,
+    block_size: int,
+    n_buckets: int,
+    out_p: BlockIndexPaths,
+) -> None:
+    """Hot-term salting → (term, salt) exchange → streaming block encoder
+    → partitioned blocks write. The shared tail of the k-way merge and
+    plans/delete_index.purge_deletes — both feed compressed runs with
+    ABSOLUTE head gaps in per-term docID order.
+
+    Salt arithmetic: docID width of one salt range is ceil(n_docs/n_salt)
+    with n_salt = ceil(df / target_group_size); salt is an int64-safe
+    integer DIVISION of run_pos — the naive run_pos * n_salt / n_docs
+    product overflows int64 at ~10^12 docs × a stopword df, wrapping
+    negative and violating the encoder's runs-in-docID-order precondition
+    (salt must be monotone in run_pos within a term)."""
+    nd = max(n_docs, 1)
+    hot_df = lexicon.filter(F.col("df") > hot_df_threshold).select(
+        "term",
+        F.ceil(
+            F.lit(nd) / F.ceil(F.col("df") / F.lit(target_group_size))
+        ).cast("long").alias("salt_span"),
+    )
+    salted = runs.join(F.broadcast(hot_df), "term", "left").withColumn(
+        "salt",
+        F.expr(f"CAST(run_pos DIV coalesce(salt_span, {nd}L) AS INT)"),
+    ).select("term", "salt", "run_pos", "n", "ids_vb", "tfs_vb", "dls_vb")
+    n_exch = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    blocks = (
+        salted.repartition(n_exch, "term", "salt")
+        .sortWithinPartitions("term", "salt", "run_pos")
+        .mapInArrow(
+            _make_stream_encoder(avg_dl, block_size, n_buckets, None),
+            BLOCK_SCHEMA,
+        )
+    )
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev_batch = spark.conf.get(batch_key, "10000")
+    spark.conf.set(batch_key, str(1 << 15))
+    try:
+        write_table(
+            # bucket leads the sort (same as build_block_index): without it
+            # the V1 parquet writer inserts its own Sort(bucket), which is
+            # both a redundant full sort and NOT stable — measured
+            # permuting rows within bucket files, degrading the serving
+            # reader's (kind, term, doc_lo) row-group pruning
+            blocks.repartition("bucket").sortWithinPartitions(
+                "bucket", "kind", "term", "doc_lo"
+            ),
+            out_p.blocks,
+            mode="overwrite",
+            partition_by=("bucket",),
+            options={"parquet.block.size": 1 << 20},
+        )
+    finally:
+        spark.conf.set(batch_key, prev_batch)
+
+
+def _write_lexicon(lexicon, out_p: BlockIndexPaths, n_buckets: int) -> None:
+    """Bucketed lexicon write (same layout as build_block_index)."""
+    write_table(
+        lexicon.withColumn(
+            "bucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
+        )
+        .repartition("bucket")
+        .sortWithinPartitions("bucket", "term"),
+        out_p.lexicon,
+        mode="overwrite",
+        partition_by=("bucket",),
+        options={"parquet.block.size": 256 << 10},
+    )
+
+
+def _write_meta(
+    spark: SparkSession,
+    out_p: BlockIndexPaths,
+    build_id: str,
+    n_docs: int,
+    avg_dl: float,
+    block_size: int,
+    n_buckets: int,
+    staged_hwm: int,
+) -> str:
+    """Meta row (block_format 3 + the staging-id watermark) → fingerprint."""
+    fingerprint = f"{n_docs}:{avg_dl:.6f}"
+    write_table(
+        spark.createDataFrame(
+            [(
+                build_id, n_docs, avg_dl, block_size, n_buckets,
+                fingerprint, 3, staged_hwm,
+            )],
+            "build_id string, n_docs long, avg_dl double, block_size int, "
+            "n_buckets int, fingerprint string, block_format int, "
+            "staged_hwm long",
+        ),
+        out_p.meta,
+        mode="overwrite",
+    )
+    return fingerprint
+
+
+def _finalize_metrics(
+    spark: SparkSession,
+    out_p: BlockIndexPaths,
+    build_id: str,
+    fingerprint: str,
+    n_docs: int,
+    avg_dl: float,
+    t0: float,
+) -> BuildMetrics:
+    """Per-bucket lineage + metrics (same accounting shape as a fresh
+    build's checkpoints): column-pruned stats scan, no payload read."""
+    read_schema = T.StructType(
+        [f for f in BLOCK_SCHEMA.fields if f.name != "bucket"]
+        + [T.StructField("bucket", T.IntegerType(), True)]
+    )
+    wall_s = time.time() - t0
+    per_bucket = {
+        r["bucket"]: r
+        for r in read_table(spark, out_p.blocks, schema=read_schema)
+        .filter(F.col("kind") == 0)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n_postings"), F.count(F.lit(1)).alias("n_blocks"))
+        .collect()
+    }
+    now = time.time()
+    cp_rows = [
+        (
+            build_id, int(bkt), "done", fingerprint,
+            int(r["n_postings"]), int(r["n_blocks"]), 0,
+            float(wall_s),
+            float(int(r["n_postings"]) / wall_s) if wall_s > 0 else 0.0,
+            float(now),
+        )
+        for bkt, r in per_bucket.items()
+    ]
+    if cp_rows:
+        write_table(
+            spark.createDataFrame(
+                cp_rows,
+                "build_id string, bucket int, status string, fingerprint string, "
+                "n_postings long, n_blocks long, bytes_compressed long, "
+                "wall_s double, postings_per_sec double, ts double",
+            ),
+            out_p.checkpoints,
+            mode="append",
+        )
+    n_postings = sum(int(r["n_postings"]) for r in per_bucket.values())
+    return BuildMetrics(
+        build_id=build_id,
+        n_docs=n_docs,
+        avg_dl=avg_dl,
+        n_postings=n_postings,
+        n_buckets_built=len(per_bucket),
+        n_buckets_skipped=0,
+        wall_s=wall_s,
+        postings_per_sec=(n_postings / wall_s) if wall_s > 0 else 0.0,
     )
 
 
@@ -318,7 +499,7 @@ def merge_many_block_indexes(
                 .astype(np.int64)
             )
             del_state.append(
-                (
+                _DelState(
                     spark.sparkContext.broadcast(arr),
                     read_table(spark, dfc_p, schema=DEL_DF_SCHEMA),
                     int(dm["n_deleted"]),
@@ -329,7 +510,7 @@ def merge_many_block_indexes(
         else:
             del_state.append(None)
     counts = [
-        int(m["n_docs"]) - (st[2] if st else 0)
+        int(m["n_docs"]) - (st.n_deleted if st else 0)
         for m, st in zip(metas, del_state)
     ]  # LIVE docs per input
     # shift for index i = total docs of indexes before it (arrival-blocked)
@@ -377,7 +558,8 @@ def merge_many_block_indexes(
     total_dl = 0
     for ds_in, st in zip(in_ds, del_state):
         if st is not None:
-            total_dl += st[4] - st[3]  # exact live dl from the sidecar ints
+            # exact live dl from the sidecar ints
+            total_dl += st.total_dl - st.deleted_dl
         else:
             total_dl += int(ds_in.agg(F.sum("term_cnt")).collect()[0][0] or 0)
     avg_dl = (total_dl / n_docs) if n_docs else 0.0
@@ -391,7 +573,7 @@ def merge_many_block_indexes(
         )
         if st is not None:
             part = (
-                part.join(st[1], "term", "left")
+                part.join(st.df_corr, "term", "left")
                 .select(
                     "term",
                     (F.col("df") - F.coalesce(F.col("ddf"), F.lit(0))).alias("df"),
@@ -415,75 +597,25 @@ def merge_many_block_indexes(
     def _input_runs(p, st, shift):
         lb = _leaf_blocks(spark, p)
         if st is not None:  # drop tombstoned postings inside the stream
-            return lb.mapInArrow(_blocks_to_purged_runs(st[0], shift), RUNS_SCHEMA)
+            return lb.mapInArrow(
+                _blocks_to_purged_runs(st.ids_bc, shift), RUNS_SCHEMA
+            )
         return lb.mapInArrow(_blocks_to_runs(shift), RUNS_SCHEMA)
 
     runs = _input_runs(in_ps[0], del_state[0], 0)
     for p, st, shift in zip(in_ps[1:], del_state[1:], shifts[1:]):
         runs = runs.unionByName(_input_runs(p, st, shift))
-    nd = max(n_docs, 1)
-    hot_df = lexicon.filter(F.col("df") > hot_df_threshold).select(
-        "term",
-        # docID width of one salt range: ceil(n_docs / n_salt) with
-        # n_salt = ceil(df / target_group_size). Salt is then an int64-safe
-        # integer DIVISION of run_pos — the naive run_pos * n_salt / n_docs
-        # product overflows int64 at ~10^12 docs × a stopword df, wrapping
-        # negative and violating the encoder's runs-in-docID-order
-        # precondition (salt must be monotone in run_pos within a term).
-        F.ceil(
-            F.lit(nd) / F.ceil(F.col("df") / F.lit(target_group_size))
-        ).cast("long").alias("salt_span"),
+    _salt_encode_write_blocks(
+        spark, runs, lexicon, n_docs, hot_df_threshold, target_group_size,
+        num_partitions, avg_dl, block_size, n_buckets, out_p,
     )
-    salted = runs.join(F.broadcast(hot_df), "term", "left").withColumn(
-        "salt",
-        F.expr(f"CAST(run_pos DIV coalesce(salt_span, {nd}L) AS INT)"),
-    ).select("term", "salt", "run_pos", "n", "ids_vb", "tfs_vb", "dls_vb")
-
-    n_exch = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    blocks = (
-        salted.repartition(n_exch, "term", "salt")
-        .sortWithinPartitions("term", "salt", "run_pos")
-        .mapInArrow(
-            _make_stream_encoder(avg_dl, block_size, n_buckets, None),
-            BLOCK_SCHEMA,
-        )
-    )
-    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    prev_batch = spark.conf.get(batch_key, "10000")
-    spark.conf.set(batch_key, str(1 << 15))
-    try:
-        write_table(
-            # bucket leads the sort (same as build_block_index): without it
-            # the V1 parquet writer inserts its own Sort(bucket), which is
-            # both a redundant full sort and NOT stable — measured
-            # permuting rows within bucket files, degrading the serving
-            # reader's (kind, term, doc_lo) row-group pruning
-            blocks.repartition("bucket").sortWithinPartitions(
-                "bucket", "kind", "term", "doc_lo"
-            ),
-            out_p.blocks,
-            mode="overwrite",
-            partition_by=("bucket",),
-            options={"parquet.block.size": 1 << 20},
-        )
-    finally:
-        spark.conf.set(batch_key, prev_batch)
 
     # sidecar tables (same layouts as build_block_index)
-    write_table(
-        lexicon.withColumn(
-            "bucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
-        )
-        .repartition("bucket")
-        .sortWithinPartitions("bucket", "term"),
-        out_p.lexicon,
-        mode="overwrite",
-        partition_by=("bucket",),
-        options={"parquet.block.size": 256 << 10},
-    )
+    _write_lexicon(lexicon, out_p, n_buckets)
+
     def _input_ds(ds_in, st, shift, schema):
         if st is not None:  # drop tombstoned rows, remap to survivor ranks
-            ds_in = _remap_doc_ids(ds_in, st[0], schema)
+            ds_in = _remap_doc_ids(ds_in, st.ids_bc, schema)
         if shift:
             ds_in = ds_in.withColumn("doc_id", F.col("doc_id") + F.lit(shift))
         return ds_in
@@ -494,7 +626,6 @@ def merge_many_block_indexes(
             _input_ds(ds, st, shift, DOC_STATS_SCHEMA)
         )
     write_table(ds_union, out_p.doc_stats, mode="overwrite")
-    fingerprint = f"{n_docs}:{avg_dl:.6f}"
     # staged_hwm: the cumulative STAGING-id-space watermark this index has
     # absorbed — Σ of each input's watermark (its own staged_hwm, else its
     # n_docs: for an index that never purged, the docID axis IS the
@@ -505,18 +636,9 @@ def merge_many_block_indexes(
     staged_hwm = sum(
         int(m.get("staged_hwm") or m["n_docs"]) for m in metas
     )
-    write_table(
-        spark.createDataFrame(
-            [(
-                build_id, n_docs, avg_dl, block_size, n_buckets,
-                fingerprint, 3, staged_hwm,
-            )],
-            "build_id string, n_docs long, avg_dl double, block_size int, "
-            "n_buckets int, fingerprint string, block_format int, "
-            "staged_hwm long",
-        ),
-        out_p.meta,
-        mode="overwrite",
+    fingerprint = _write_meta(
+        spark, out_p, build_id, n_docs, avg_dl, block_size, n_buckets,
+        staged_hwm,
     )
     # texts sidecar: policy (emit_texts) was validated eagerly above; the
     # write happens here so the sidecar lands after the data tables. Row
@@ -556,55 +678,11 @@ def merge_many_block_indexes(
 
             shutil.rmtree(out_p.texts, ignore_errors=True)
 
-    # per-bucket lineage + metrics (merge provenance), same accounting shape
-    # as a fresh build's checkpoints: column-pruned stats scan, no payload read
-    read_schema = T.StructType(
-        [f for f in BLOCK_SCHEMA.fields if f.name != "bucket"]
-        + [T.StructField("bucket", T.IntegerType(), True)]
+    metrics = _finalize_metrics(
+        spark, out_p, build_id, fingerprint, n_docs, avg_dl, t0
     )
-    wall_s = time.time() - t0
-    per_bucket = {
-        r["bucket"]: r
-        for r in read_table(spark, out_p.blocks, schema=read_schema)
-        .filter(F.col("kind") == 0)
-        .groupBy("bucket")
-        .agg(F.sum("n").alias("n_postings"), F.count(F.lit(1)).alias("n_blocks"))
-        .collect()
-    }
-    now = time.time()
-    cp_rows = [
-        (
-            build_id, int(bkt), "done", fingerprint,
-            int(r["n_postings"]), int(r["n_blocks"]), 0,
-            float(wall_s),
-            float(int(r["n_postings"]) / wall_s) if wall_s > 0 else 0.0,
-            float(now),
-        )
-        for bkt, r in per_bucket.items()
-    ]
-    if cp_rows:
-        write_table(
-            spark.createDataFrame(
-                cp_rows,
-                "build_id string, bucket int, status string, fingerprint string, "
-                "n_postings long, n_blocks long, bytes_compressed long, "
-                "wall_s double, postings_per_sec double, ts double",
-            ),
-            out_p.checkpoints,
-            mode="append",
-        )
     lexicon.unpersist()
     for st in del_state:
         if st is not None:
-            st[0].unpersist()
-    n_postings = sum(int(r["n_postings"]) for r in per_bucket.values())
-    return BuildMetrics(
-        build_id=build_id,
-        n_docs=n_docs,
-        avg_dl=avg_dl,
-        n_postings=n_postings,
-        n_buckets_built=len(per_bucket),
-        n_buckets_skipped=0,
-        wall_s=wall_s,
-        postings_per_sec=(n_postings / wall_s) if wall_s > 0 else 0.0,
-    )
+            st.ids_bc.unpersist()
+    return metrics
